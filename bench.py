@@ -1,0 +1,68 @@
+"""Benchmark driver: forward-render FPS at the reference's headline config.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md north-star): >= 60 FPS @ 1080p rendering at 1-5M
+splats on one TPU chip — vs_baseline is FPS / 60.
+
+Mirrors the reference's forward bench shape (brush-bench-test/src/benches.rs:
+223-254: N splats at 1920x1080, wall-time over synced iters).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from brush_tpu.camera import Camera
+    from brush_tpu.render import RenderConfig, camera_inputs, render
+    from brush_tpu.train.splat_init import create_random_splats
+
+    n_splats = 1_000_000
+    img = (1920, 1080)
+
+    rng = np.random.default_rng(42)
+    cam = Camera(position=np.array([0.0, 0.0, -8.0]),
+                 rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                 fov_x=1.1, fov_y=0.7)
+    splats = create_random_splats(n_splats, [cam], rng,
+                                  scene_scale_override=10.0, sh_degree=3)
+
+    rcfg = RenderConfig(img_size=img, sh_degree=3, isect_cap=1 << 23,
+                        max_per_tile=4096, chunk=64)
+    cam_in = camera_inputs(cam, img)
+    bg = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def fwd(means, log_scales, quats, sh, opac):
+        img_out, _ = render(means, log_scales, quats, sh, opac, cam_in, bg, rcfg)
+        return img_out
+
+    args = (splats.means, splats.log_scales, splats.quats,
+            splats.sh_coeffs, splats.raw_opacities)
+
+    out = fwd(*args)
+    out.block_until_ready()  # compile + warmup
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": f"forward_render_fps_{n_splats // 1000}k_1080p",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

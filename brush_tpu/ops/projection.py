@@ -1,0 +1,210 @@
+"""Splat projection & culling: the vectorized equivalent of the reference's
+`project_forward` + `project_visible` kernels
+(brush-render/src/kernels/project_forward.rs:22-125, project_visible.rs:23-88).
+
+TPU-first design notes (SURVEY.md §7):
+* No compaction / atomics — everything is computed for all N (padded-capacity)
+  splats with a `visible` mask; downstream tiling sorts culled splats to the
+  end with +inf depth keys, keeping the whole step jit-compiled.
+* Culled splats are *sanitized before the nonlinear math* (double-where) so
+  reverse-mode autodiff never multiplies a zero cotangent with a NaN/Inf
+  primal. The reference gets the equivalent guarantee by writing dense
+  gradients only for visible splats.
+* Gates are positive-phrased so NaN reliably fails them (NaN comparisons are
+  False in XLA exactly as in WGSL).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from brush_tpu.camera import CameraModel, Pinhole, is_fisheye
+from brush_tpu.constants import (
+    ALPHA_CUTOFF_MID,
+    COV2D_ENTRY_CLAMP,
+    COV_BLUR_DEFAULT,
+    COV_BLUR_MIP,
+    COLOR_CLAMP,
+    MAX_VIEW_Z,
+    NEAR_PLANE,
+    QUAT_NORM_SQ_MIN,
+    SH_COLOR_OFFSET,
+    TILE_WIDTH,
+)
+from brush_tpu.ops import camera_proj
+from brush_tpu.ops.sh import sh_to_color
+from brush_tpu.utils.quat import quat_to_rotmat
+
+
+class CameraInputs(NamedTuple):
+    """Dynamic per-view uniforms (kernels/types.rs:51-108)."""
+
+    viewmat: jnp.ndarray        # [3,4] world-to-camera
+    pinhole: jnp.ndarray        # [fx, fy, cx, cy]
+    clamp_limits: jnp.ndarray   # [lim_neg_x, lim_pos_x, lim_neg_y, lim_pos_y]
+    cam_pos: jnp.ndarray        # [3] world-space camera position
+    half_max_render_fov: jnp.ndarray | float = 0.0  # fisheye cull bound
+
+
+@struct.dataclass
+class ProjectedSplats:
+    """Per-splat projected state in original splat order."""
+
+    visible: jnp.ndarray        # [N] bool
+    depth: jnp.ndarray          # [N] view-space z
+    mean2d: jnp.ndarray         # [N,2] pixel coords
+    conic: jnp.ndarray          # [N,3] (c00, c01, c11) of cov2d^-1
+    color: jnp.ndarray          # [N,3] SH-evaluated rgb (clamped +-100, +0.5)
+    opac: jnp.ndarray           # [N] sigmoid(raw) * mip compensation
+    power_threshold: jnp.ndarray  # [N] ln(opac*255)
+    tile_min: jnp.ndarray       # [N,2] int32 (tx, ty) inclusive
+    tile_max: jnp.ndarray       # [N,2] int32 (tx, ty) exclusive
+    num_tiles_bbox: jnp.ndarray  # [N] int32 tiles in clamped bbox
+    max_radius: jnp.ndarray     # [N] screen-fraction radius (refine stat)
+
+
+def _is_finite(x):
+    return jnp.isfinite(x)
+
+
+def project_splats(
+    means: jnp.ndarray,          # [N,3]
+    log_scales: jnp.ndarray,     # [N,3]
+    quats: jnp.ndarray,          # [N,4] wxyz, not necessarily normalized
+    sh_coeffs: jnp.ndarray,      # [N,K,3]
+    raw_opacities: jnp.ndarray,  # [N]
+    cam: CameraInputs,
+    img_size: tuple[int, int],   # (w, h), static
+    *,
+    sh_degree: int,
+    model: CameraModel = Pinhole(),
+    mip_splatting: bool = False,
+) -> ProjectedSplats:
+    img_w, img_h = img_size
+    tile_bw = -(-img_w // TILE_WIDTH)
+    tile_bh = -(-img_h // TILE_WIDTH)
+
+    rot = cam.viewmat[:, :3]
+    trans = cam.viewmat[:, 3]
+    mean_c_raw = jnp.einsum("ni,ji->nj", means, rot,
+                            precision=jax.lax.Precision.HIGHEST) + trans  # [N,3]
+
+    # --- Culling gates (project_forward.rs:44-111) ---
+    z = mean_c_raw[..., 2]
+    ok = jnp.all(_is_finite(mean_c_raw), axis=-1) & (z <= MAX_VIEW_Z)
+    if is_fisheye(model):
+        r = jnp.sqrt(mean_c_raw[..., 0] ** 2 + mean_c_raw[..., 1] ** 2)
+        theta = jnp.arctan2(r, z)
+        ok &= theta <= cam.half_max_render_fov
+    else:
+        ok &= z >= NEAR_PLANE
+
+    scales_raw = jnp.exp(log_scales)
+    ok &= jnp.all(_is_finite(scales_raw), axis=-1)
+
+    qnorm_sq = jnp.sum(quats * quats, axis=-1)
+    ok &= (qnorm_sq >= QUAT_NORM_SQ_MIN) & _is_finite(qnorm_sq)
+    ok &= _is_finite(raw_opacities)
+
+    # --- Sanitize inputs for the nonlinear math (double-where) ---
+    okc = ok[:, None]
+    mean_c = jnp.where(okc, mean_c_raw, jnp.array([0.0, 0.0, 1.0]))
+    log_scales_s = jnp.where(okc, log_scales, 0.0)
+    quats_s = jnp.where(okc, quats, jnp.array([1.0, 0.0, 0.0, 0.0]))
+    raw_opac_s = jnp.where(ok, raw_opacities, -10.0)
+    means_s = jnp.where(okc, means, cam.cam_pos + jnp.array([0.0, 0.0, 1.0]))
+
+    scale = jnp.exp(log_scales_s)
+    qn = quats_s / jnp.sqrt(jnp.sum(quats_s * quats_s, axis=-1, keepdims=True))
+
+    # --- cov2d (helpers.rs calc_cov2d:142-171) ---
+    # ns = W_rot * R(q) * diag(scale); cov2d_raw = (J ns)(J ns)^T.
+    ns = jnp.einsum("ij,njk->nik", rot, quat_to_rotmat(qn),
+                    precision=jax.lax.Precision.HIGHEST) * scale[:, None, :]
+    jac = camera_proj.projection_jacobian(mean_c, cam.pinhole, cam.clamp_limits, model)
+    v = jnp.einsum("nij,njk->nik", jac, ns,
+                   precision=jax.lax.Precision.HIGHEST)  # [N,2,3]
+    c00 = jnp.sum(v[:, 0] * v[:, 0], axis=-1)
+    c01 = jnp.sum(v[:, 0] * v[:, 1], axis=-1)
+    c11 = jnp.sum(v[:, 1] * v[:, 1], axis=-1)
+    max_abs = jnp.maximum(jnp.maximum(jnp.abs(c00), jnp.abs(c11)), jnp.abs(c01))
+    scale_down = jnp.where(max_abs > COV2D_ENTRY_CLAMP, COV2D_ENTRY_CLAMP / max_abs, 1.0)
+    c00, c01, c11 = c00 * scale_down, c01 * scale_down, c11 * scale_down
+
+    # --- Mip blur + compensation (helpers.rs compensate_cov2d:177-191) ---
+    blur = COV_BLUR_MIP if mip_splatting else COV_BLUR_DEFAULT
+    b00, b11 = c00 + blur, c11 + blur
+    if mip_splatting:
+        det_raw = jnp.maximum(c00 * c11 - c01 * c01, 0.0)
+        det_blur = b00 * b11 - c01 * c01
+        filter_comp = jnp.sqrt(det_raw / det_blur)
+    else:
+        filter_comp = 1.0
+
+    opac = jax_sigmoid(raw_opac_s) * filter_comp
+    ok &= _is_finite(b00) & _is_finite(b11) & _is_finite(c01)
+    ok &= opac >= ALPHA_CUTOFF_MID
+
+    # --- conic = cov2d^-1, zero when non-PD (brush-cube Sym2::inverse) ---
+    det = b00 * b11 - c01 * c01
+    inv_det = jnp.where(det > 0.0, 1.0 / jnp.where(det > 0.0, det, 1.0), 0.0)
+    conic = jnp.stack([b11 * inv_det, -c01 * inv_det, b00 * inv_det], axis=-1)
+
+    mean2d = camera_proj.project(mean_c, cam.pinhole, model)
+
+    # --- bbox extent (helpers.rs compute_bbox_extent:80-90) ---
+    power_threshold = jnp.log(jnp.maximum(opac, 1e-30) * 255.0)
+    cdet = conic[:, 0] * conic[:, 2] - conic[:, 1] * conic[:, 1]
+    degenerate = cdet <= 0.0
+    cinv_det = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, cdet))
+    ex = jnp.sqrt(jnp.maximum(2.0 * power_threshold * conic[:, 2] * cinv_det, 0.0))
+    ey = jnp.sqrt(jnp.maximum(2.0 * power_threshold * conic[:, 0] * cinv_det, 0.0))
+    ok &= ~degenerate
+
+    on_screen = (
+        (mean2d[:, 0] + ex > 0.0)
+        & (mean2d[:, 0] - ex < img_w)
+        & (mean2d[:, 1] + ey > 0.0)
+        & (mean2d[:, 1] - ey < img_h)
+    )
+    ok &= on_screen
+
+    # --- tile bbox (helpers.rs get_tile_bbox/get_bbox:107-136) ---
+    tw = float(TILE_WIDTH)
+    min_x = jnp.clip(mean2d[:, 0] / tw - ex / tw, 0.0, tile_bw).astype(jnp.int32)
+    min_y = jnp.clip(mean2d[:, 1] / tw - ey / tw, 0.0, tile_bh).astype(jnp.int32)
+    max_x = jnp.clip(mean2d[:, 0] / tw + ex / tw + 1.0, 0.0, tile_bw).astype(jnp.int32)
+    max_y = jnp.clip(mean2d[:, 1] / tw + ey / tw + 1.0, 0.0, tile_bh).astype(jnp.int32)
+    num_tiles_bbox = jnp.where(ok, (max_x - min_x) * (max_y - min_y), 0)
+
+    # --- SH color along viewdir (project_visible.rs:54-71) ---
+    viewdir_raw = means_s - cam.cam_pos
+    norm = jnp.linalg.norm(viewdir_raw, axis=-1, keepdims=True)
+    viewdir = viewdir_raw / jnp.where(norm > 0, norm, 1.0)
+    color = sh_to_color(sh_coeffs, viewdir, sh_degree) + SH_COLOR_OFFSET
+    color = jnp.where(jnp.isfinite(color), color, 0.0)
+    color = jnp.clip(color, -COLOR_CLAMP, COLOR_CLAMP)
+
+    max_radius = jnp.where(ok, jnp.maximum(ex / img_w, ey / img_h), 0.0)
+
+    return ProjectedSplats(
+        visible=ok,
+        depth=mean_c_raw[..., 2],
+        mean2d=mean2d,
+        conic=conic,
+        color=color,
+        opac=opac,
+        power_threshold=power_threshold,
+        tile_min=jnp.stack([min_x, min_y], axis=-1),
+        tile_max=jnp.stack([max_x, max_y], axis=-1),
+        num_tiles_bbox=num_tiles_bbox,
+        max_radius=max_radius,
+    )
+
+
+def jax_sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))

@@ -1,0 +1,151 @@
+"""Full differentiable render pipeline.
+
+TPU-native counterpart of the reference's forward dispatch
+(brush-render/src/render.rs:39-280) + autodiff glue
+(brush-render-bwd/src/burn_glue.rs): one jit-compilable function
+
+    project -> depth sort -> isect expansion -> tile sort -> rasterize
+
+where only `rasterize` carries a custom VJP; everything else is plain jnp
+and differentiates automatically (gathers become scatter-adds in reverse
+mode — the role of the reference's hand-written project_backwards kernel).
+
+Static configuration (img_size, sh_degree, camera-model type, capacities,
+mip flag) mirrors the reference's comptime kernel specialization
+(SURVEY.md Appendix B); per-view scalars stay dynamic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from brush_tpu.camera import Camera, CameraModel, Pinhole, is_fisheye
+from brush_tpu.constants import TILE_WIDTH
+from brush_tpu.ops.projection import CameraInputs, ProjectedSplats, project_splats
+from brush_tpu.ops.rasterize_jnp import rasterize, rasterize_with_visibility
+from brush_tpu.ops.tiling import Intersections, build_intersections
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (one jit specialization per value)."""
+
+    img_size: Tuple[int, int]          # (w, h)
+    sh_degree: int = 3
+    model: CameraModel = Pinhole()
+    mip_splatting: bool = False
+    isect_cap: int = 1 << 16           # padded intersection capacity
+    max_per_tile: int = 1024           # jnp-rasterizer per-tile bound
+    chunk: int = 32
+    smooth_cutoff: bool = False        # test-only C^1 alpha cutoff
+
+    @property
+    def tile_grid(self) -> Tuple[int, int]:
+        w, h = self.img_size
+        return (-(-w // TILE_WIDTH), -(-h // TILE_WIDTH))
+
+
+@struct.dataclass
+class RenderAux:
+    """Side outputs of a render (reference: render_aux.rs:73)."""
+
+    num_visible: jnp.ndarray        # [] int32
+    num_isects: jnp.ndarray         # [] int32 — compare against isect_cap!
+    max_isects_per_tile: jnp.ndarray  # [] int32 — compare against max_per_tile!
+    visible: jnp.ndarray            # [N] 1.0 where splat contributed
+    max_radius: jnp.ndarray         # [N] screen-fraction radius
+    final_t: jnp.ndarray | None = None
+
+
+def camera_inputs(cam: Camera, img_size: Tuple[int, int]) -> CameraInputs:
+    """Host-side Camera -> device uniforms."""
+    return CameraInputs(
+        viewmat=jnp.asarray(cam.viewmat()),
+        pinhole=jnp.asarray(cam.pinhole_params(img_size)),
+        clamp_limits=jnp.asarray(cam.jacobian_clamp_limits(img_size)),
+        cam_pos=jnp.asarray(cam.position, dtype=jnp.float32),
+        half_max_render_fov=cam.half_max_render_fov() if is_fisheye(cam.model) else 0.0,
+    )
+
+
+def render(
+    means: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    raw_opacities: jnp.ndarray,
+    cam: CameraInputs,
+    bg: jnp.ndarray,
+    cfg: RenderConfig,
+) -> tuple[jnp.ndarray, RenderAux]:
+    """Render one view. Returns ([H, W, 4] f32 image, RenderAux).
+
+    Fully differentiable w.r.t. the five splat parameter arrays. The refine
+    weight (densify signal) is exposed by `render_with_refine`.
+    """
+    img, aux, _ = _render_impl(
+        means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg, cfg,
+        refine_holder=None)
+    return img, aux
+
+
+def render_with_refine(
+    means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg, cfg,
+    refine_holder: jnp.ndarray,
+):
+    """Like `render` but threads a zeros-[N] `refine_holder` whose gradient is
+    the per-splat refine weight (reference burn_glue.rs:252,269)."""
+    img, aux, _ = _render_impl(
+        means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg, cfg,
+        refine_holder=refine_holder)
+    return img, aux
+
+
+def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
+                 cfg: RenderConfig, refine_holder):
+    proj = project_splats(
+        means, log_scales, quats, sh_coeffs, raw_opacities, cam, cfg.img_size,
+        sh_degree=cfg.sh_degree, model=cfg.model, mip_splatting=cfg.mip_splatting)
+    isect = build_intersections(proj, cfg.img_size, cfg.isect_cap)
+
+    if refine_holder is None:
+        refine_holder = jnp.zeros(means.shape[0], jnp.float32)
+
+    img = rasterize(
+        proj.mean2d, proj.conic, proj.color, proj.opac, refine_holder,
+        isect.gid_from_isect, isect.tile_ranges, bg,
+        cfg.img_size, cfg.max_per_tile, cfg.chunk, cfg.smooth_cutoff)
+
+    per_tile = isect.tile_ranges[:, 1] - isect.tile_ranges[:, 0]
+    aux = RenderAux(
+        num_visible=isect.num_visible,
+        num_isects=isect.num_isects,
+        max_isects_per_tile=jnp.max(per_tile),
+        visible=_visibility(proj, isect, cfg),
+        max_radius=proj.max_radius,
+    )
+    return img, aux, isect
+
+
+def _visibility(proj: ProjectedSplats, isect: Intersections, cfg: RenderConfig):
+    return rasterize_with_visibility(
+        proj.mean2d, proj.conic, proj.color, proj.opac,
+        isect.gid_from_isect, isect.tile_ranges,
+        cfg.img_size, cfg.max_per_tile, cfg.chunk)
+
+
+def pack_image_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 4] f32 -> [H, W, 4] u8, matching the reference's packed forward
+    output path (rasterize.rs:172-177)."""
+    return jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def required_isect_cap(aux: RenderAux) -> int:
+    """Host helper: padded capacity that would fit this view (pow2-rounded)."""
+    n = int(aux.num_isects)
+    return 1 << max(10, int(np.ceil(np.log2(max(n, 1)))))

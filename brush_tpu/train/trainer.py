@@ -1,0 +1,281 @@
+"""Training step: render -> fused loss -> backward -> AdamScaled -> noise.
+
+Functional counterpart of SplatTrainer::step (brush-train/src/train.rs:157-412),
+as one jit-compiled pure function over an explicit TrainState pytree:
+
+* the reference's three optimizer sub-steps (packed transforms with
+  per-column LR, SH with DC/rest scaling + reduced moment2, opacity) become
+  five `adam_step` calls — elementwise-identical because Adam state is
+  per-element and the packed [N,10] layout existed only to minimize GPU
+  bindings;
+* the refine-weight gradient, visibility mask and max-radius statistics
+  accumulate into RefineRecord (brush-train/src/stats.rs:7-63);
+* the opacity-gated mean noise injection (train.rs:367-399) uses the
+  train-state RNG key — explicit, reproducible, checkpointable.
+
+Static config (image size, sh degree, capacities) comes from RenderConfig;
+everything else is dynamic so one compiled step serves the whole run.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from brush_tpu.models.splats import Splats
+from brush_tpu.ops.loss import ImageLossConfig
+from brush_tpu.ops.projection import CameraInputs
+from brush_tpu.ops.sh import num_sh_coeffs
+from brush_tpu.render import RenderConfig, RenderAux, render_with_refine
+from brush_tpu.train.adam_scaled import AdamParamState, adam_step, init_state
+from brush_tpu.train.config import TrainConfig
+
+
+@struct.dataclass
+class RefineRecord:
+    """Per-splat accumulators between refines (stats.rs:7-63)."""
+
+    refine_weight: jnp.ndarray   # [cap] max of per-step refine weights
+    visible_count: jnp.ndarray   # [cap] sum of visibility
+    max_radius: jnp.ndarray      # [cap] max screen-fraction radius
+
+    @classmethod
+    def zeros(cls, cap: int) -> "RefineRecord":
+        # Three distinct buffers — sharing one would alias and break
+        # donation (double-donate) under jit(donate_argnums=0).
+        return cls(refine_weight=jnp.zeros((cap,), jnp.float32),
+                   visible_count=jnp.zeros((cap,), jnp.float32),
+                   max_radius=jnp.zeros((cap,), jnp.float32))
+
+    def gather_stats(self, refine_weight, visible, max_radius) -> "RefineRecord":
+        return RefineRecord(
+            refine_weight=jnp.maximum(self.refine_weight, refine_weight),
+            visible_count=self.visible_count + visible,
+            max_radius=jnp.maximum(self.max_radius, max_radius),
+        )
+
+
+@struct.dataclass
+class TrainState:
+    splats: Splats
+    opt: dict[str, AdamParamState]
+    refine: RefineRecord
+    step: jnp.ndarray            # [] int32
+    rng: jnp.ndarray             # PRNG key
+    median_scale: jnp.ndarray    # [] f32, bounds.median_size() (train.rs:185)
+
+
+class SceneBatch(NamedTuple):
+    """One training view (brush-dataset/src/scene.rs SceneBatch). Alpha-mode
+    flags are trace-static and passed to train_step directly."""
+
+    gt_packed: jnp.ndarray       # [H, W] uint32 RGBA
+    cam: CameraInputs
+
+
+class TrainStepStats(NamedTuple):
+    loss: jnp.ndarray
+    num_visible: jnp.ndarray
+    lr_mean: jnp.ndarray
+
+
+def init_train_state(splats: Splats, rng: jnp.ndarray,
+                     median_scale: float | jnp.ndarray) -> TrainState:
+    opt = {
+        "means": init_state(splats.means),
+        "quats": init_state(splats.quats),
+        "log_scales": init_state(splats.log_scales),
+        "sh_coeffs": init_state(splats.sh_coeffs, reduce_moment_2=True),
+        "raw_opacities": init_state(splats.raw_opacities),
+    }
+    return TrainState(
+        splats=splats,
+        opt=opt,
+        refine=RefineRecord.zeros(splats.capacity),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+        median_scale=jnp.asarray(median_scale, jnp.float32),
+    )
+
+
+def _sh_lr_scaling(n_coeffs: int, rest_scale: float) -> jnp.ndarray:
+    """DC full LR; higher bands lr/rest_scale (train.rs:380-391)."""
+    s = jnp.full((1, n_coeffs, 1), 1.0 / rest_scale, jnp.float32)
+    return s.at[:, 0].set(1.0)
+
+
+def train_step(
+    state: TrainState,
+    batch: SceneBatch,
+    tcfg: TrainConfig,
+    rcfg: RenderConfig,
+    has_alpha: bool = False,
+    alpha_is_mask: bool = False,
+) -> tuple[TrainState, TrainStepStats, RenderAux]:
+    """One fully-jitted single-view training step (reference semantics)."""
+    return train_step_impl(state, batch, tcfg, rcfg,
+                           has_alpha=has_alpha, alpha_is_mask=alpha_is_mask,
+                           batched=False)
+
+
+def train_step_impl(
+    state: TrainState,
+    batch: SceneBatch,
+    tcfg: TrainConfig,
+    rcfg: RenderConfig,
+    has_alpha: bool = False,
+    alpha_is_mask: bool = False,
+    batched: bool = False,
+) -> tuple[TrainState, TrainStepStats, RenderAux]:
+    """One training step. `tcfg`/`rcfg` and the alpha-mode flags are
+    trace-static (one compile per combination, like the reference's comptime
+    loss kernel flags). With `batched=True`, batch leaves carry a leading
+    view axis [B]; the loss is the mean over views, which under a 'dp'
+    sharding becomes a cross-chip gradient psum (parallel/data_parallel.py).
+    """
+    rng, k_bg, k_noise = jax.random.split(state.rng, 3)
+
+    # Background: base + uniform noise, clamped (config background_noise);
+    # sampled per view in batched mode.
+    n_views = batch.gt_packed.shape[0] if batched else 1
+    base_bg = jnp.asarray(tcfg.background_color, jnp.float32)
+    bgs = jnp.clip(
+        base_bg + jax.random.uniform(
+            k_bg, (n_views, 3), minval=-tcfg.background_noise_strength,
+            maxval=tcfg.background_noise_strength),
+        0.0, 1.0)
+
+    splats = state.splats
+    params = splats.params()
+    refine_holder = jnp.zeros((splats.capacity,), jnp.float32)
+
+    ssim_enabled = tcfg.ssim_weight > 0.0
+    l1_w, ssim_w = ((1.0 - tcfg.ssim_weight, -tcfg.ssim_weight)
+                    if ssim_enabled else (1.0, 0.0))
+    do_alpha_match = (has_alpha and not alpha_is_mask
+                      and tcfg.match_alpha_weight > 0.0)
+    composite = has_alpha  # bg noise makes bg != 0 almost surely
+
+    def view_loss(params, refine_holder, gt_packed, cam, bg):
+        rendered = splats.with_params(params).fold_min_scale()
+        img, aux = render_with_refine(
+            rendered.means, rendered.log_scales, rendered.quats,
+            rendered.sh_coeffs, rendered.raw_opacities,
+            cam, bg, rcfg, refine_holder)
+        pred = img if do_alpha_match else img[..., :3]
+        # Compositing folds gt + (1-a)*bg inside the loss (train.rs:215-218);
+        # bg is traced, so the composite goes through image_loss_dyn.
+        lcfg = ImageLossConfig(
+            l1_weight=l1_w, ssim_weight=ssim_w, composite_bg=None,
+            mask=alpha_is_mask, alpha_match=do_alpha_match)
+        loss = image_loss_dyn(pred, gt_packed, bg if composite else None,
+                              lcfg, tcfg.match_alpha_weight)
+        return loss, aux
+
+    def loss_fn(params, refine_holder):
+        if batched:
+            losses, auxs = jax.vmap(
+                view_loss, in_axes=(None, None, 0, 0, 0))(
+                    params, refine_holder, batch.gt_packed, batch.cam, bgs)
+            aux = RenderAux(
+                num_visible=jnp.max(auxs.num_visible),
+                num_isects=jnp.max(auxs.num_isects),
+                max_isects_per_tile=jnp.max(auxs.max_isects_per_tile),
+                visible=jnp.max(auxs.visible, axis=0),
+                max_radius=jnp.max(auxs.max_radius, axis=0),
+            )
+            return jnp.mean(losses), aux
+        loss, aux = view_loss(params, refine_holder, batch.gt_packed,
+                              batch.cam, bgs[0])
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        params, refine_holder)
+    param_grads, refine_weight = grads
+
+    # --- Learning rates (train.rs:311-364) ---
+    decay = tcfg.mean_lr_decay()
+    lr_mean = (tcfg.lr_mean * decay ** state.step.astype(jnp.float32)
+               ) * state.median_scale
+
+    opt = dict(state.opt)
+    new_params = {}
+    lrs = {
+        "means": lr_mean,
+        "quats": tcfg.lr_rotation,
+        "log_scales": tcfg.lr_scale,
+        "raw_opacities": tcfg.lr_opac,
+        "sh_coeffs": tcfg.lr_coeffs_dc,
+    }
+    sh_scaling = _sh_lr_scaling(num_sh_coeffs(splats.sh_degree),
+                                tcfg.lr_coeffs_sh_scale)
+    for name in params:
+        scaling = sh_scaling if name == "sh_coeffs" else None
+        new_params[name], opt[name] = adam_step(
+            params[name], param_grads[name], opt[name], lrs[name], scaling)
+
+    new_splats = splats.with_params(new_params)
+
+    # --- Opacity-gated mean noise injection (train.rs:367-399) ---
+    folded = new_splats.fold_min_scale()
+    inv_opac = 1.0 - jax.nn.sigmoid(folded.raw_opacities)
+    noise_weight = jnp.clip(inv_opac ** 150.0, 0.0, 1.0) * aux.visible
+    samples = jax.random.normal(k_noise, new_splats.means.shape)
+    noise = samples * (noise_weight * lr_mean * tcfg.mean_noise_weight)[:, None]
+    noise = jnp.clip(noise, -state.median_scale, state.median_scale)
+    new_splats = new_splats.replace(means=new_splats.means + noise)
+
+    refine = state.refine.gather_stats(refine_weight, aux.visible, aux.max_radius)
+
+    new_state = state.replace(
+        splats=new_splats, opt=opt, refine=refine,
+        step=state.step + 1, rng=rng)
+    stats = TrainStepStats(loss=loss, num_visible=aux.num_visible,
+                           lr_mean=lr_mean)
+    return new_state, stats, aux
+
+
+def image_loss_dyn(pred, gt_packed, bg_dyn, cfg: ImageLossConfig,
+                   match_alpha_weight: float):
+    """image_loss with a *traced* composite bg (the static ImageLossConfig
+    can't carry a tracer)."""
+    from brush_tpu.ops import loss as loss_mod
+
+    gt_rgb, gt_a = loss_mod.unpack_gt(gt_packed)
+    if bg_dyn is not None:
+        gt_rgb = gt_rgb + (1.0 - gt_a[..., None]) * bg_dyn
+    lmap = _loss_map_from_rgb(pred, gt_rgb, gt_a, cfg)
+    if cfg.alpha_match:
+        return (jnp.mean(lmap[..., :3])
+                + jnp.mean(lmap[..., 3]) * match_alpha_weight)
+    return jnp.mean(lmap)
+
+
+def _loss_map_from_rgb(pred, gt_rgb, gt_a, cfg: ImageLossConfig):
+    from brush_tpu.ops import loss as loss_mod
+
+    p = jnp.moveaxis(pred[..., :3], -1, 0)
+    g = jnp.moveaxis(gt_rgb, -1, 0)
+    moments = jnp.concatenate([p, p * p, g, g * g, p * g], axis=0)
+    b = loss_mod._blur11(moments)
+    mu1, m11, mu2, m22, m12 = b[0:3], b[3:6], b[6:9], b[9:12], b[12:15]
+    sigma1_sq = jnp.maximum(0.0, m11 - mu1 * mu1)
+    sigma2_sq = jnp.maximum(0.0, m22 - mu2 * mu2)
+    sigma12 = m12 - mu1 * mu2
+    from brush_tpu.constants import SSIM_C1, SSIM_C2
+    a_t = mu1 * mu1 + mu2 * mu2 + SSIM_C1
+    b_t = sigma1_sq + sigma2_sq + SSIM_C2
+    c_t = 2.0 * mu1 * mu2 + SSIM_C1
+    d_t = 2.0 * sigma12 + SSIM_C2
+    ssim = jnp.clip((c_t * d_t) / (a_t * b_t), -1.0, 1.0)
+    loss = cfg.l1_weight * jnp.abs(p - g) + cfg.ssim_weight * ssim
+    loss = jnp.moveaxis(loss, 0, -1)
+    if cfg.alpha_match:
+        loss = jnp.concatenate(
+            [loss, jnp.abs(pred[..., 3] - gt_a)[..., None]], axis=-1)
+    if cfg.mask:
+        loss = loss * gt_a[..., None]
+    return loss

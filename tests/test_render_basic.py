@@ -1,0 +1,153 @@
+"""Behavioral invariants of the forward render, modeled on the reference's
+brush-render/src/tests/mod.rs suite (renders_at_all, hidden splats don't
+perturb output, zero-splats bg, NaN handling...)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brush_tpu.camera import Camera
+from brush_tpu.ops.sh import rgb_to_sh_dc
+from brush_tpu.render import RenderConfig, camera_inputs, render
+
+
+def make_camera(img_size=(64, 64)):
+    return Camera(
+        position=np.array([0.0, 0.0, -5.0]),
+        rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+        fov_x=0.8, fov_y=0.8,
+    )
+
+
+def make_splats(n, rng, spread=1.0):
+    means = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    log_scales = np.full((n, 3), np.log(0.1), np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    sh = np.zeros((n, 1, 3), np.float32)
+    sh[:, 0] = rgb_to_sh_dc(rng.uniform(0, 1, (n, 3))).astype(np.float32)
+    raw_opac = np.full((n,), 2.0, np.float32)
+    return tuple(map(jnp.asarray, (means, log_scales, quats, sh, raw_opac)))
+
+
+CFG = RenderConfig(img_size=(64, 64), sh_degree=0, isect_cap=4096,
+                   max_per_tile=256, chunk=32)
+
+
+def test_zero_splats_renders_bg(rng):
+    splats = make_splats(4, rng)
+    # All culled: raw opacity -inf-ish (sigmoid ~ 0 < 1/255).
+    splats = splats[:4] + (jnp.full((4,), -20.0),)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    bg = jnp.array([0.2, 0.4, 0.6], jnp.float32)
+    img, aux = render(*splats, cam, bg, CFG)
+    assert img.shape == (64, 64, 4)
+    np.testing.assert_allclose(np.asarray(img[..., :3]), np.broadcast_to(bg, (64, 64, 3)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img[..., 3]), 0.0, atol=1e-6)
+    assert int(aux.num_visible) == 0
+
+
+def test_renders_at_all(rng):
+    splats = make_splats(64, rng)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    img, aux = render(*splats, cam, jnp.zeros(3), CFG)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(aux.num_visible) > 0
+    assert float(jnp.max(img[..., 3])) > 0.1
+    assert int(aux.num_isects) <= CFG.isect_cap
+    assert int(aux.max_isects_per_tile) <= CFG.max_per_tile
+
+
+def test_center_splat_color(rng):
+    """A single opaque splat at the optical axis colors the center pixel."""
+    means = jnp.array([[0.0, 0.0, 0.0]])
+    log_scales = jnp.full((1, 3), jnp.log(0.3))
+    quats = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    sh = jnp.asarray(rgb_to_sh_dc(np.array([[[1.0, 0.0, 0.0]]])), jnp.float32)
+    raw_opac = jnp.array([10.0])  # sigmoid ~ 1
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    img, _ = render(means, log_scales, quats, sh, raw_opac, cam, jnp.zeros(3), CFG)
+    center = np.asarray(img[32, 32])
+    assert center[0] > 0.9 and center[1] < 0.05 and center[2] < 0.05
+    assert center[3] > 0.9
+
+
+def test_fully_occluded_splat_no_effect(rng):
+    """Splats behind a saturating opaque wall don't perturb the image
+    (reference tests/mod.rs 'hidden splats')."""
+    # Three stacked near-opaque walls drive T below the 1e-4 early-out
+    # threshold over the (small, centered) hidden splat's footprint, so it
+    # must contribute exactly nothing.
+    front = (
+        jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.5], [0.0, 0.0, 1.0]]),
+        jnp.full((3, 3), jnp.log(3.0)),
+        jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (3, 1)),
+        jnp.asarray(rgb_to_sh_dc(np.array([[[0.9, 0.9, 0.9]]] * 3)), jnp.float32),
+        jnp.array([20.0, 20.0, 20.0]),
+    )
+    behind = (
+        jnp.array([[0.0, 0.0, 3.0]]),
+        jnp.full((1, 3), jnp.log(0.1)),
+        jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        jnp.asarray(rgb_to_sh_dc(np.array([[[0.0, 1.0, 0.0]]])), jnp.float32),
+        jnp.array([20.0]),
+    )
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    img1, _ = render(*front, cam, jnp.zeros(3), CFG)
+    both = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(front, behind))
+    img2, _ = render(*both, cam, jnp.zeros(3), CFG)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+
+
+def test_nan_position_culled_not_poisoning(rng):
+    splats = list(make_splats(16, rng))
+    means = np.asarray(splats[0]).copy()
+    means[3] = np.nan
+    splats[0] = jnp.asarray(means)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    img, aux = render(*splats, cam, jnp.zeros(3), CFG)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(aux.num_visible) == 15
+
+
+def test_gradients_finite_and_nonzero(rng):
+    splats = make_splats(32, rng)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+
+    def loss(params):
+        img, _ = render(*params, cam, jnp.zeros(3), CFG)
+        return jnp.mean(img[..., :3] ** 2)
+
+    grads = jax.grad(loss)(splats)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_nan_splat_has_zero_gradient(rng):
+    """Double-where sanitation: culled splats must not produce NaN grads."""
+    splats = list(make_splats(8, rng))
+    means = np.asarray(splats[0]).copy()
+    means[2] = np.inf
+    splats[0] = jnp.asarray(means)
+    ls = np.asarray(splats[1]).copy()
+    ls[5] = 400.0  # exp -> inf -> culled
+    splats[1] = jnp.asarray(ls)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+
+    def loss(params):
+        img, _ = render(*params, cam, jnp.zeros(3), CFG)
+        return jnp.mean(img[..., :3] ** 2)
+
+    grads = jax.grad(loss)(tuple(splats))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_jit_compiles(rng):
+    splats = make_splats(32, rng)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    f = jax.jit(lambda *s: render(*s, cam, jnp.zeros(3), CFG)[0])
+    img = f(*splats)
+    img2 = f(*splats)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
