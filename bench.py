@@ -33,7 +33,7 @@ def main():
                                   scene_scale_override=10.0, sh_degree=3)
 
     rcfg = RenderConfig(img_size=img, sh_degree=3, isect_cap=1 << 23,
-                        max_per_tile=4096, chunk=64)
+                        use_pallas=True)
     cam_in = camera_inputs(cam, img)
     bg = jnp.zeros(3, jnp.float32)
 

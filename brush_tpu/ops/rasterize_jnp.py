@@ -173,14 +173,16 @@ def _forward_common(mean2d, conic, color, opac, gid_from_isect, tile_ranges, bg,
     return _tiles_to_image(img, img_size), (gid, valid, t_final)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def rasterize(mean2d, conic, color, opac, refine_holder,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def rasterize(mean2d, conic, color, opac, refine_holder, visible_holder,
               gid_from_isect, tile_ranges, bg,
               img_size, max_per_tile, chunk=32, smooth_cutoff=False):
     """Rasterize projected splats to an [H, W, 4] float image.
 
-    Differentiable w.r.t. mean2d/conic/color/opac/bg; the cotangent of
-    `refine_holder` (a zeros-[N] dummy) carries the densify refine weight.
+    Differentiable w.r.t. mean2d/conic/color/opac/bg; the cotangents of the
+    zeros-[N] dummies `refine_holder`/`visible_holder` carry the densify
+    refine weight and the contributed-visibility mask (the reference's
+    refine_weight_holder + `visible` buffer, burn_glue.rs:252,269).
     """
     img, _ = _forward_common(
         mean2d, conic, color, opac, gid_from_isect, tile_ranges, bg,
@@ -188,7 +190,7 @@ def rasterize(mean2d, conic, color, opac, refine_holder,
     return img
 
 
-def _rasterize_fwd(mean2d, conic, color, opac, refine_holder,
+def _rasterize_fwd(mean2d, conic, color, opac, refine_holder, visible_holder,
                    gid_from_isect, tile_ranges, bg,
                    img_size, max_per_tile, chunk, smooth_cutoff):
     img, _ = _forward_common(
@@ -237,8 +239,12 @@ def _rasterize_bwd(img_size, max_per_tile, chunk, smooth_cutoff, res, v_img):
     v_refine = jnp.zeros((n,), jnp.float32).at[gid].add(refine_isect)
     v_refine = jnp.clip(jnp.nan_to_num(v_refine, nan=0.0), 0.0, REFINE_WEIGHT_CLAMP)
 
+    v_visible = rasterize_with_visibility(
+        mean2d, conic, color, opac, gid_from_isect, tile_ranges,
+        img_size, max_per_tile, chunk)
+
     zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (v_mean2d, v_conic, v_color, v_opac, v_refine,
+    return (v_mean2d, v_conic, v_color, v_opac, v_refine, v_visible,
             zero_int(gid_from_isect), zero_int(tile_ranges), v_bg)
 
 

@@ -37,10 +37,21 @@ from brush_tpu.ops.projection import ProjectedSplats
 class Intersections(NamedTuple):
     perm: jnp.ndarray          # [N] depth-sorted order: compact -> global gid
     num_visible: jnp.ndarray   # [] int32
-    num_isects: jnp.ndarray    # [] int32 true intersection count (may exceed cap)
-    gid_from_isect: jnp.ndarray   # [I] global splat id per sorted intersection
-    tile_id_from_isect: jnp.ndarray  # [I] sorted tile ids (sentinel = num_tiles)
-    tile_ranges: jnp.ndarray   # [T,2] (start, end) into the sorted isect arrays
+    num_isects: jnp.ndarray    # [] int32 true intersection count
+    num_isects_aligned: jnp.ndarray  # [] int32 slots used incl. alignment pad
+    gid_from_isect: jnp.ndarray   # [I] global splat id per isect slot
+    isect_valid: jnp.ndarray   # [I] bool — False for alignment-padding slots
+    tile_ranges: jnp.ndarray   # [T,2] (start, start+count); starts ALIGN-aligned
+
+
+# Each tile's isect range starts at a multiple of ALIGN and owns the whole
+# aligned span up to the next tile's start. This guarantees the Pallas
+# kernels' fixed-size chunks never cross tile boundaries, so the backward
+# kernel can store per-intersection gradients with plain (race-free) DMA
+# writes — the TPU substitute for the reference's atomic gradient adds
+# (rasterize_backwards.rs HfAtomicAdd/CasAtomicAdd). Padding slots are
+# marked invalid and get their alpha zeroed in the SoA, making them inert.
+ALIGN = 256
 
 
 def will_contribute(
@@ -140,13 +151,33 @@ def build_intersections(
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype), side="left"
     ).astype(jnp.int32)
-    tile_ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
+    counts = bounds[1:] - bounds[:-1]                       # [T]
+
+    # --- Re-layout with ALIGN-aligned per-tile starts (see ALIGN above) ---
+    aligned_counts = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    acum = jnp.cumsum(aligned_counts)
+    astart = (acum - aligned_counts).astype(jnp.int32)      # [T]
+    num_aligned = acum[-1].astype(jnp.int32)
+
+    # Clamp to capacity: tiles past the cap get empty/truncated ranges.
+    astart_cl = jnp.minimum(astart, isect_cap)
+    count_cl = jnp.clip(counts, 0, isect_cap - astart_cl)
+    tile_ranges = jnp.stack([astart_cl, astart_cl + count_cl], axis=-1)
+
+    slots2 = jnp.arange(isect_cap, dtype=jnp.int32)
+    tile2 = jnp.searchsorted(acum, slots2, side="right").astype(jnp.int32)
+    tile2_cl = jnp.minimum(tile2, num_tiles - 1)
+    within = slots2 - astart[tile2_cl]
+    valid2 = (tile2 < num_tiles) & (within < counts[tile2_cl])
+    orig = jnp.clip(bounds[tile2_cl] + within, 0, isect_cap - 1)
+    gid2 = jnp.where(valid2, gid_sorted[orig], 0)
 
     return Intersections(
         perm=perm.astype(jnp.int32),
         num_visible=num_visible,
         num_isects=num_isects,
-        gid_from_isect=gid_sorted,
-        tile_id_from_isect=tile_sorted,
+        num_isects_aligned=num_aligned,
+        gid_from_isect=gid2,
+        isect_valid=valid2,
         tile_ranges=tile_ranges,
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from brush_tpu.ops.projection import CameraInputs
@@ -33,7 +34,7 @@ from brush_tpu.train.trainer import (
 
 def view_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    return Mesh(jnp.array(devices).reshape(-1), axis_names=("dp",))
+    return Mesh(np.array(devices).reshape(-1), axis_names=("dp",))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

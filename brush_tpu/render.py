@@ -28,6 +28,7 @@ from brush_tpu.camera import Camera, CameraModel, Pinhole, is_fisheye
 from brush_tpu.constants import TILE_WIDTH
 from brush_tpu.ops.projection import CameraInputs, ProjectedSplats, project_splats
 from brush_tpu.ops.rasterize_jnp import rasterize, rasterize_with_visibility
+from brush_tpu.ops.rasterize_pallas import rasterize_pallas
 from brush_tpu.ops.tiling import Intersections, build_intersections
 
 
@@ -43,6 +44,7 @@ class RenderConfig:
     max_per_tile: int = 1024           # jnp-rasterizer per-tile bound
     chunk: int = 32
     smooth_cutoff: bool = False        # test-only C^1 alpha cutoff
+    use_pallas: bool = False           # production Pallas kernels
 
     @property
     def tile_grid(self) -> Tuple[int, int]:
@@ -90,43 +92,58 @@ def render(
     """
     img, aux, _ = _render_impl(
         means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg, cfg,
-        refine_holder=None)
+        refine_holder=None, with_visibility=not cfg.use_pallas)
     return img, aux
 
 
 def render_with_refine(
     means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg, cfg,
     refine_holder: jnp.ndarray,
+    visible_holder: jnp.ndarray | None = None,
 ):
-    """Like `render` but threads a zeros-[N] `refine_holder` whose gradient is
-    the per-splat refine weight (reference burn_glue.rs:252,269)."""
+    """Like `render` but threads zeros-[N] holders whose gradients carry the
+    per-splat refine weight and visibility mask (burn_glue.rs:252,269)."""
     img, aux, _ = _render_impl(
         means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg, cfg,
-        refine_holder=refine_holder)
+        refine_holder=refine_holder, visible_holder=visible_holder)
     return img, aux
 
 
 def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
-                 cfg: RenderConfig, refine_holder):
+                 cfg: RenderConfig, refine_holder, visible_holder=None,
+                 with_visibility: bool = False):
     proj = project_splats(
         means, log_scales, quats, sh_coeffs, raw_opacities, cam, cfg.img_size,
         sh_degree=cfg.sh_degree, model=cfg.model, mip_splatting=cfg.mip_splatting)
     isect = build_intersections(proj, cfg.img_size, cfg.isect_cap)
 
+    n = means.shape[0]
     if refine_holder is None:
-        refine_holder = jnp.zeros(means.shape[0], jnp.float32)
+        refine_holder = jnp.zeros(n, jnp.float32)
+    if visible_holder is None:
+        visible_holder = jnp.zeros(n, jnp.float32)
 
-    img = rasterize(
-        proj.mean2d, proj.conic, proj.color, proj.opac, refine_holder,
-        isect.gid_from_isect, isect.tile_ranges, bg,
-        cfg.img_size, cfg.max_per_tile, cfg.chunk, cfg.smooth_cutoff)
+    if cfg.use_pallas:
+        img = rasterize_pallas(
+            proj.mean2d, proj.conic, proj.color, proj.opac,
+            refine_holder, visible_holder,
+            isect.gid_from_isect, isect.isect_valid, isect.tile_ranges, bg,
+            cfg.img_size)
+    else:
+        img = rasterize(
+            proj.mean2d, proj.conic, proj.color, proj.opac,
+            refine_holder, visible_holder,
+            isect.gid_from_isect, isect.tile_ranges, bg,
+            cfg.img_size, cfg.max_per_tile, cfg.chunk, cfg.smooth_cutoff)
 
     per_tile = isect.tile_ranges[:, 1] - isect.tile_ranges[:, 0]
+    visible = (_visibility(proj, isect, cfg) if with_visibility
+               else jnp.zeros(n, jnp.float32))
     aux = RenderAux(
         num_visible=isect.num_visible,
-        num_isects=isect.num_isects,
+        num_isects=isect.num_isects_aligned,
         max_isects_per_tile=jnp.max(per_tile),
-        visible=_visibility(proj, isect, cfg),
+        visible=visible,
         max_radius=proj.max_radius,
     )
     return img, aux, isect

@@ -151,6 +151,7 @@ def train_step_impl(
     splats = state.splats
     params = splats.params()
     refine_holder = jnp.zeros((splats.capacity,), jnp.float32)
+    visible_holder = jnp.zeros((splats.capacity,), jnp.float32)
 
     ssim_enabled = tcfg.ssim_weight > 0.0
     l1_w, ssim_w = ((1.0 - tcfg.ssim_weight, -tcfg.ssim_weight)
@@ -159,12 +160,12 @@ def train_step_impl(
                       and tcfg.match_alpha_weight > 0.0)
     composite = has_alpha  # bg noise makes bg != 0 almost surely
 
-    def view_loss(params, refine_holder, gt_packed, cam, bg):
+    def view_loss(params, refine_holder, visible_holder, gt_packed, cam, bg):
         rendered = splats.with_params(params).fold_min_scale()
         img, aux = render_with_refine(
             rendered.means, rendered.log_scales, rendered.quats,
             rendered.sh_coeffs, rendered.raw_opacities,
-            cam, bg, rcfg, refine_holder)
+            cam, bg, rcfg, refine_holder, visible_holder)
         pred = img if do_alpha_match else img[..., :3]
         # Compositing folds gt + (1-a)*bg inside the loss (train.rs:215-218);
         # bg is traced, so the composite goes through image_loss_dyn.
@@ -175,11 +176,12 @@ def train_step_impl(
                               lcfg, tcfg.match_alpha_weight)
         return loss, aux
 
-    def loss_fn(params, refine_holder):
+    def loss_fn(params, refine_holder, visible_holder):
         if batched:
             losses, auxs = jax.vmap(
-                view_loss, in_axes=(None, None, 0, 0, 0))(
-                    params, refine_holder, batch.gt_packed, batch.cam, bgs)
+                view_loss, in_axes=(None, None, None, 0, 0, 0))(
+                    params, refine_holder, visible_holder,
+                    batch.gt_packed, batch.cam, bgs)
             aux = RenderAux(
                 num_visible=jnp.max(auxs.num_visible),
                 num_isects=jnp.max(auxs.num_isects),
@@ -188,13 +190,20 @@ def train_step_impl(
                 max_radius=jnp.max(auxs.max_radius, axis=0),
             )
             return jnp.mean(losses), aux
-        loss, aux = view_loss(params, refine_holder, batch.gt_packed,
-                              batch.cam, bgs[0])
+        loss, aux = view_loss(params, refine_holder, visible_holder,
+                              batch.gt_packed, batch.cam, bgs[0])
         return loss, aux
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-        params, refine_holder)
-    param_grads, refine_weight = grads
+    (loss, aux), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            params, refine_holder, visible_holder)
+    param_grads, refine_weight, visible_grad = grads
+    # Holder cotangents: the batched loss is a *mean* over views, so undo the
+    # 1/B factor to recover per-step accumulations matching the reference's
+    # one-view-per-step semantics; visibility is a 0/1 mask.
+    n_views_f = jnp.asarray(float(n_views), jnp.float32)
+    refine_weight = refine_weight * n_views_f
+    visible = jnp.clip(visible_grad * n_views_f, 0.0, 1.0)
 
     # --- Learning rates (train.rs:311-364) ---
     decay = tcfg.mean_lr_decay()
@@ -222,13 +231,13 @@ def train_step_impl(
     # --- Opacity-gated mean noise injection (train.rs:367-399) ---
     folded = new_splats.fold_min_scale()
     inv_opac = 1.0 - jax.nn.sigmoid(folded.raw_opacities)
-    noise_weight = jnp.clip(inv_opac ** 150.0, 0.0, 1.0) * aux.visible
+    noise_weight = jnp.clip(inv_opac ** 150.0, 0.0, 1.0) * visible
     samples = jax.random.normal(k_noise, new_splats.means.shape)
     noise = samples * (noise_weight * lr_mean * tcfg.mean_noise_weight)[:, None]
     noise = jnp.clip(noise, -state.median_scale, state.median_scale)
     new_splats = new_splats.replace(means=new_splats.means + noise)
 
-    refine = state.refine.gather_stats(refine_weight, aux.visible, aux.max_radius)
+    refine = state.refine.gather_stats(refine_weight, visible, aux.max_radius)
 
     new_state = state.replace(
         splats=new_splats, opt=opt, refine=refine,

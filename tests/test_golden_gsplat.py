@@ -54,8 +54,8 @@ def run_case(name, isect_cap, max_per_tile):
 
 
 def test_tiny_case():
-    run_case("tiny_case", isect_cap=1 << 11, max_per_tile=32)
+    run_case("tiny_case", isect_cap=1 << 14, max_per_tile=32)
 
 
 def test_basic_case():
-    run_case("basic_case", isect_cap=1 << 12, max_per_tile=32)
+    run_case("basic_case", isect_cap=1 << 14, max_per_tile=32)

@@ -30,7 +30,7 @@ def make_splats(n, rng, spread=1.0):
     return tuple(map(jnp.asarray, (means, log_scales, quats, sh, raw_opac)))
 
 
-CFG = RenderConfig(img_size=(64, 64), sh_degree=0, isect_cap=4096,
+CFG = RenderConfig(img_size=(64, 64), sh_degree=0, isect_cap=1 << 13,
                    max_per_tile=256, chunk=32)
 
 
