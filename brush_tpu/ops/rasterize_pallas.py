@@ -70,15 +70,17 @@ def _exclusive_cumprod_lanes(x):
     return y
 
 
-def _fwd_kernel(ranges_ref,            # scalar-prefetch [T, 2] int32 (SMEM)
+def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                 proj_ref,              # [16, I] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
                 out_ref,               # [1, 8, 256] VMEM block per tile
                 buf, sem,              # scratch: [2, 16, CK] VMEM, DMA sems (2,)
                 *, tile_bw: int, isect_cap: int):
     t = pl.program_id(0)
-    start = ranges_ref[t, 0]
-    end = ranges_ref[t, 1]
+    # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded to
+    # x128, blowing the 1 MB SMEM budget at 1080p tile counts.
+    start = ranges_ref[2 * t]
+    end = ranges_ref[2 * t + 1]
 
     # Tile ranges are ALIGN(=CK)-aligned and own their full aligned span
     # (ops/tiling.py), so chunks never cross tile boundaries and padding
@@ -255,7 +257,7 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
         interpret=interpret,
-    )(tile_ranges, soa, bg4)
+    )(tile_ranges.reshape(-1), soa, bg4)
     return tiles
 
 
@@ -310,7 +312,7 @@ def _additive_prefix_lanes(x):
     return y
 
 
-def _bwd_kernel(ranges_ref,            # scalar-prefetch [T, 2] int32
+def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
                 proj_ref,              # [16, I] f32 ANY/HBM
                 tiles_ref,             # [1, 8, 256] fwd output block (VMEM)
                 vt_ref,                # [1, 8, 256] cotangent block (VMEM)
@@ -319,8 +321,8 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T, 2] int32
                 buf, sem, obuf, osem,  # scratch
                 *, tile_bw: int, img_w: int, img_h: int):
     t = pl.program_id(0)
-    start = ranges_ref[t, 0]
-    end = ranges_ref[t, 1]
+    start = ranges_ref[2 * t]
+    end = ranges_ref[2 * t + 1]
     span = end - start
     nchunks = jnp.where(span > 0, (span + CK - 1) // CK, 0)
 
@@ -533,7 +535,7 @@ def rasterize_backward_pallas(soa, tile_ranges, tiles, v_tiles, bg, img_size,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((SOA_ROWS, isect_cap), jnp.float32),
         interpret=interpret,
-    )(tile_ranges, soa, tiles, v_tiles, bg4)
+    )(tile_ranges.reshape(-1), soa, tiles, v_tiles, bg4)
     return grads
 
 

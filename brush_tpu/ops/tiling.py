@@ -1,33 +1,39 @@
 """Tile binning: depth sort -> intersection expansion -> tile sort -> ranges.
 
 Replaces the reference's atomic-compaction + radix-sort machinery
-(brush-render/src/render.rs:103-237, kernels/map_gaussians.rs,
-brush-sort, brush-prefix-sum, get_tile_offset.rs) with the XLA-native
-equivalents recommended in SURVEY.md §2.1 notes:
+(brush-render/src/render.rs:103-237, kernels/map_gaussians.rs, brush-sort,
+brush-prefix-sum, get_tile_offset.rs) with XLA-native equivalents, tuned for
+what is actually fast on TPU (measured on v5e):
 
-* visible-set compaction -> one `argsort` over (+inf-masked) depth keys;
-* GPU prefix sum -> `jnp.cumsum`;
-* scatter-style intersection expansion -> a *gather*: each of the
-  `isect_cap` intersection slots finds its owning splat with
-  `searchsorted` over the cumulative tile counts (no atomics needed);
-* the second radix sort -> one stable `argsort` over tile ids (stability
-  preserves the depth order within each tile, exactly like the
-  reference's stable LSD radix sort);
-* `get_tile_offsets` -> `searchsorted` of each tile id over the sorted keys.
+* visible-set compaction -> one argsort over (+inf-masked) depth keys;
+* GPU prefix sum -> jnp.cumsum;
+* the scatter-style intersection expansion -> owner lookup via
+  *scatter-markers + an associative max-scan* (binary-search/searchsorted
+  over millions of queries costs >1s on TPU — gather chains; the scan is
+  pure elementwise passes);
+* all per-slot splat attributes come from ONE multi-channel gather of a
+  packed [R, N] table (nine separate 1-channel gathers cost ~9x more);
+* the second radix sort -> one stable lax.sort by tile id (~25 ms at 8M
+  pairs; stability preserves depth order within tiles like the reference's
+  stable LSD radix passes);
+* get_tile_offsets -> searchsorted with only T+1 queries (cheap direction).
 
-Capacity model: `isect_cap` is a static padded capacity. Slots past the true
-intersection count, and bbox tiles failing the exact StopThePop
-tile-ellipse test (helpers.rs:223-260), get the sentinel tile id
-`num_tiles` (map_gaussians.rs:53-57) which sorts past every valid tile and
-is never rasterized. The true count is returned so a host-side wrapper can
-detect overflow and retry with a larger capacity (replaces the reference's
-mid-pipeline GPU->CPU count readback, render.rs:146-167).
+Capacity model: `isect_cap` is a static padded capacity. Each tile's final
+range starts at a multiple of ALIGN and owns its aligned span, so the Pallas
+kernels' fixed-size chunks never cross tile boundaries — that is what makes
+the backward's plain-DMA gradient stores race-free (no atomics on TPU).
+Padding slots are marked invalid; slots past the true count get the sentinel
+tile id `num_tiles` (map_gaussians.rs:53-57) and sort past every valid tile.
+The true (aligned) slot requirement is returned so a host-side wrapper can
+detect overflow and retry bigger — replacing the reference's mid-pipeline
+GPU->CPU count readback (render.rs:146-167).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from brush_tpu.constants import TILE_WIDTH
@@ -40,17 +46,10 @@ class Intersections(NamedTuple):
     num_isects: jnp.ndarray    # [] int32 true intersection count
     num_isects_aligned: jnp.ndarray  # [] int32 slots used incl. alignment pad
     gid_from_isect: jnp.ndarray   # [I] global splat id per isect slot
-    isect_valid: jnp.ndarray   # [I] bool — False for alignment-padding slots
+    isect_valid: jnp.ndarray   # [I] bool — False for padding/overflow slots
     tile_ranges: jnp.ndarray   # [T,2] (start, start+count); starts ALIGN-aligned
 
 
-# Each tile's isect range starts at a multiple of ALIGN and owns the whole
-# aligned span up to the next tile's start. This guarantees the Pallas
-# kernels' fixed-size chunks never cross tile boundaries, so the backward
-# kernel can store per-intersection gradients with plain (race-free) DMA
-# writes — the TPU substitute for the reference's atomic gradient adds
-# (rasterize_backwards.rs HfAtomicAdd/CasAtomicAdd). Padding slots are
-# marked invalid and get their alpha zeroed in the SoA, making them inert.
 ALIGN = 256
 
 
@@ -59,7 +58,9 @@ def will_contribute(
     tile_y: jnp.ndarray,
     mx: jnp.ndarray,
     my: jnp.ndarray,
-    conic: jnp.ndarray,  # [..., 3]
+    c00: jnp.ndarray,
+    c01: jnp.ndarray,
+    c11: jnp.ndarray,
     power_threshold: jnp.ndarray,
 ) -> jnp.ndarray:
     """Exact (conservative) gaussian-vs-tile test, StopThePop style
@@ -84,7 +85,6 @@ def will_contribute(
     diff_x = mx - corner_x
     diff_y = my - corner_y
 
-    c00, c01, c11 = conic[..., 0], conic[..., 1], conic[..., 2]
     tx_den = dxf * c00 * dxf
     ty_den = dyf * c11 * dyf
     tx_raw = (dxf * c00 * diff_x + dxf * c01 * diff_y) / jnp.where(tx_den != 0, tx_den, 1.0)
@@ -100,6 +100,18 @@ def will_contribute(
     return (in_x & in_y) | (sigma <= power_threshold)
 
 
+def _owner_from_starts(starts, nonempty, n, isect_cap):
+    """owner[slot] = compact index of the splat whose [start, start+count)
+    block contains the slot: scatter (i+1) markers at non-empty starts, then
+    an inclusive max-scan. Replaces searchsorted (slot-many binary-search
+    gathers are ~50x slower on TPU)."""
+    idx = jnp.where(nonempty, starts, isect_cap)
+    marks = jnp.zeros((isect_cap,), jnp.int32).at[idx].max(
+        jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")
+    owner = jax.lax.associative_scan(jnp.maximum, marks) - 1
+    return jnp.clip(owner, 0, n - 1)
+
+
 def build_intersections(
     proj: ProjectedSplats,
     img_size: tuple[int, int],
@@ -113,67 +125,83 @@ def build_intersections(
 
     # Depth "compaction": culled splats get +inf keys and sort to the end.
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    perm = jnp.argsort(depth_key)  # compact -> global
+    perm = jnp.argsort(depth_key).astype(jnp.int32)  # compact -> global
     num_visible = jnp.sum(proj.visible).astype(jnp.int32)
 
     counts_c = proj.num_tiles_bbox[perm]
     cum = jnp.cumsum(counts_c)
     num_isects = cum[-1].astype(jnp.int32)
+    starts = (cum - counts_c).astype(jnp.int32)
 
-    # Expansion by gather: slot i belongs to the first compact splat whose
-    # cumulative count exceeds i.
+    owner = _owner_from_starts(starts, counts_c > 0, n, isect_cap)
+
+    # One multi-channel gather for every per-slot splat attribute (floats
+    # carry the small ints exactly).
+    table = jnp.stack([
+        proj.mean2d[:, 0], proj.mean2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.power_threshold,
+        proj.tile_min[:, 0].astype(jnp.float32),
+        proj.tile_min[:, 1].astype(jnp.float32),
+        jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1
+                    ).astype(jnp.float32),
+    ], axis=0)[:, perm]                       # [9, N] in compact order
+    table = jnp.concatenate([
+        table,
+        starts[None, :].astype(jnp.float32),
+        perm[None, :].astype(jnp.float32),
+    ], axis=0)                                 # rows 9: start, 10: gid
+
+    vals = table[:, owner]                     # [11, I] — the one big gather
     slots = jnp.arange(isect_cap, dtype=jnp.int32)
-    owner = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    owner_cl = jnp.minimum(owner, n - 1)
-    start = (cum[owner_cl] - counts_c[owner_cl]).astype(jnp.int32)
-    local = slots - start
-    gid = perm[owner_cl].astype(jnp.int32)
-
-    bb_min = proj.tile_min[gid]
-    bb_w = jnp.maximum(proj.tile_max[gid, 0] - bb_min[:, 0], 1)
-    tx = bb_min[:, 0] + local % bb_w
-    ty = bb_min[:, 1] + local // bb_w
+    local = slots - vals[9].astype(jnp.int32)
+    bb_w = vals[8].astype(jnp.int32)
+    tx = vals[6].astype(jnp.int32) + local % bb_w
+    ty = vals[7].astype(jnp.int32) + local // bb_w
+    gid = vals[10].astype(jnp.int32)
 
     in_range = slots < num_isects
-    contrib = will_contribute(
-        tx, ty,
-        proj.mean2d[gid, 0], proj.mean2d[gid, 1],
-        proj.conic[gid], proj.power_threshold[gid],
-    )
+    contrib = will_contribute(tx, ty, vals[0], vals[1], vals[2], vals[3],
+                              vals[4], vals[5])
     tile_id = jnp.where(in_range & contrib, ty * tile_bw + tx, num_tiles)
 
     # Stable sort keeps depth order within each tile (slots were generated in
     # depth-compact order).
-    order = jnp.argsort(tile_id, stable=True)
-    tile_sorted = tile_id[order]
-    gid_sorted = gid[order]
+    tile_sorted, gid_sorted = jax.lax.sort(
+        (tile_id, gid), num_keys=1, is_stable=True)
 
     bounds = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype), side="left"
-    ).astype(jnp.int32)
-    counts = bounds[1:] - bounds[:-1]                       # [T]
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),
+        side="left").astype(jnp.int32)         # T+1 queries: cheap direction
+    counts = bounds[1:] - bounds[:-1]          # [T]
 
-    # --- Re-layout with ALIGN-aligned per-tile starts (see ALIGN above) ---
+    # ALIGN-aligned per-tile starts.
     aligned_counts = ((counts + ALIGN - 1) // ALIGN) * ALIGN
     acum = jnp.cumsum(aligned_counts)
-    astart = (acum - aligned_counts).astype(jnp.int32)      # [T]
+    astart = (acum - aligned_counts).astype(jnp.int32)
     num_aligned = acum[-1].astype(jnp.int32)
 
-    # Clamp to capacity: tiles past the cap get empty/truncated ranges.
     astart_cl = jnp.minimum(astart, isect_cap)
     count_cl = jnp.clip(counts, 0, isect_cap - astart_cl)
     tile_ranges = jnp.stack([astart_cl, astart_cl + count_cl], axis=-1)
 
-    slots2 = jnp.arange(isect_cap, dtype=jnp.int32)
-    tile2 = jnp.searchsorted(acum, slots2, side="right").astype(jnp.int32)
-    tile2_cl = jnp.minimum(tile2, num_tiles - 1)
-    within = slots2 - astart[tile2_cl]
-    valid2 = (tile2 < num_tiles) & (within < counts[tile2_cl])
-    orig = jnp.clip(bounds[tile2_cl] + within, 0, isect_cap - 1)
-    gid2 = jnp.where(valid2, gid_sorted[orig], 0)
+    # Relayout sorted slots to aligned positions with one unique-index
+    # scatter; the per-slot (astart - bounds)[tile] shift is a gather from an
+    # 8K table with sorted indices (cheap).
+    shift = (astart - bounds[:-1])             # [T]
+    shift_full = jnp.concatenate([shift, jnp.zeros((1,), jnp.int32)])
+    tile_cl = jnp.minimum(tile_sorted, num_tiles)
+    new_pos = slots + shift_full[tile_cl]
+    new_pos = jnp.where((tile_sorted < num_tiles) & (new_pos < isect_cap),
+                        new_pos, isect_cap)    # sentinel/overflow -> dropped
+
+    gid2 = jnp.zeros((isect_cap,), jnp.int32).at[new_pos].set(
+        gid_sorted, mode="drop")
+    valid2 = jnp.zeros((isect_cap,), bool).at[new_pos].set(
+        True, mode="drop")
 
     return Intersections(
-        perm=perm.astype(jnp.int32),
+        perm=perm,
         num_visible=num_visible,
         num_isects=num_isects,
         num_isects_aligned=num_aligned,

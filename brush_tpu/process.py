@@ -1,0 +1,247 @@
+"""Process orchestration: dataset -> init -> train loop -> eval/export.
+
+Counterpart of brush-process (crates/brush-process/src/{lib,train_stream}.rs):
+detects view-vs-train sources, drives the jitted train/refine steps, handles
+capacity growth (the only recompile points), periodic eval, and ply export.
+Emits typed messages a consumer (CLI, viewer service) can stream."""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brush_tpu.camera import Camera, fov_to_focal
+from brush_tpu.data.dataloader import SceneLoader
+from brush_tpu.data.formats import Dataset, LoadConfig, load_dataset
+from brush_tpu.data.scene import AlphaMode, image_dims
+from brush_tpu.io import ply as ply_io
+from brush_tpu.models.splats import Splats, grow_capacity
+from brush_tpu.render import RenderConfig, camera_inputs
+from brush_tpu.train.config import TrainConfig
+from brush_tpu.train.eval import EvalStats, eval_views
+from brush_tpu.train.refine import refine_step
+from brush_tpu.train.splat_init import create_random_splats, to_init_splats
+from brush_tpu.train.trainer import (
+    SceneBatch, TrainState, init_train_state, train_step)
+
+
+@dataclasses.dataclass
+class ProcessConfig:
+    """brush-process/src/config.rs ProcessArgs (flattened)."""
+
+    total_iters: int | None = None       # overrides tcfg when set
+    eval_every: int = 1000
+    export_every: int = 5000
+    export_path: str = "./export_{iter}.ply"
+    start_iter: int = 0
+    seed: int = 42
+    init_count: int = 10000              # random-init splat count
+    use_pallas: bool = True
+    sh_degree: int = 3
+    log_every: int = 50
+
+
+@dataclasses.dataclass
+class TrainMessage:
+    kind: str                            # "step" | "refine" | "eval" | "export"
+    iter: int
+    data: dict
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(10, int(math.ceil(math.log2(max(n, 1)))))
+
+
+def init_splats_for_dataset(ds: Dataset, tcfg: TrainConfig,
+                            pcfg: ProcessConfig) -> Splats:
+    """ply init > point-cloud init > random init (train_stream.rs:102-143)."""
+    rng = np.random.default_rng(pcfg.seed)
+    cams = [v.camera for v in ds.train.views]
+    if ds.init_ply is not None:
+        data = ply_io.load_splat_ply(ds.train.vfs.open(ds.init_ply))
+        splats = to_init_splats(
+            data.means, data.log_scales, data.rotations, data.sh_coeffs,
+            data.raw_opacities,
+            capacity=_next_pow2(int(data.num_splats * 2)))
+    elif ds.init_points is not None and len(ds.init_points) > 0:
+        sh = None
+        if ds.init_colors is not None:
+            from brush_tpu.ops.sh import rgb_to_sh_dc
+            sh = np.asarray(rgb_to_sh_dc(ds.init_colors))[:, None, :]
+        splats = to_init_splats(
+            ds.init_points, sh_coeffs=sh,
+            capacity=_next_pow2(int(len(ds.init_points) * 2)))
+    else:
+        splats = create_random_splats(
+            pcfg.init_count, cams, rng,
+            scene_scale_override=tcfg.random_init_scene_scale,
+            capacity=_next_pow2(pcfg.init_count * 4))
+    return splats.with_sh_degree(pcfg.sh_degree)
+
+
+def view_camera_arrays(ds: Dataset, max_resolution: int):
+    """(centers [V,3], focal_px [V]) for the Mip 3D filter
+    (train_stream.rs per-view center/focal)."""
+    centers, focals = [], []
+    for v in ds.train.views:
+        w, h = image_dims(ds.train.vfs, v.image_path, max_resolution)
+        f = fov_to_focal(v.camera.fov_x, w, v.camera.model)
+        centers.append(v.camera.position)
+        focals.append(f)
+    return (jnp.asarray(np.stack(centers), jnp.float32),
+            jnp.asarray(np.array(focals), jnp.float32))
+
+
+def train_process(
+    source: str,
+    tcfg: TrainConfig | None = None,
+    lcfg: LoadConfig | None = None,
+    pcfg: ProcessConfig | None = None,
+    on_message: Callable[[TrainMessage], None] | None = None,
+) -> Iterator[TrainMessage]:
+    """Full training run as a message stream (train_stream.rs:34-503)."""
+    tcfg = tcfg or TrainConfig()
+    lcfg = lcfg or LoadConfig()
+    pcfg = pcfg or ProcessConfig()
+    if pcfg.total_iters:
+        tcfg = dataclasses.replace(tcfg, total_train_iters=pcfg.total_iters)
+
+    ds = load_dataset(source, lcfg)
+    splats = init_splats_for_dataset(ds, tcfg, pcfg)
+    state = init_train_state(splats, jax.random.PRNGKey(pcfg.seed))
+
+    loader = SceneLoader(ds.train, seed=pcfg.seed,
+                         alpha_mode=lcfg.alpha_mode)
+    centers, focals = view_camera_arrays(ds, lcfg.max_resolution)
+
+    # Image sizes vary per view; jit one step per distinct size (the
+    # reference recompiles kernels per resolution too, Appendix B).
+    step_cache: dict = {}
+    refine_jit = jax.jit(lambda s: refine_step(s, tcfg, centers, focals))
+
+    def get_step(img_size, has_alpha, alpha_is_mask, isect_cap):
+        key = (img_size, has_alpha, alpha_is_mask, isect_cap,
+               state.splats.capacity)
+        if key not in step_cache:
+            rcfg = RenderConfig(
+                img_size=img_size, sh_degree=pcfg.sh_degree,
+                isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
+            step_cache[key] = jax.jit(
+                lambda s, b: train_step(s, b, tcfg, rcfg,
+                                        has_alpha=has_alpha,
+                                        alpha_is_mask=alpha_is_mask),
+                donate_argnums=0)
+        return step_cache[key]
+
+    # Initial intersection capacity: grows on overflow (replaces the
+    # reference's exact-count readback, SURVEY.md §7).
+    isect_cap = 1 << 21
+    t_start = time.perf_counter()
+
+    it = pcfg.start_iter
+    alpha_is_mask = lcfg.alpha_mode == AlphaMode.MASKED
+    while it < tcfg.total_train_iters:
+        view = next(loader)
+        batch = SceneBatch(
+            gt_packed=jnp.asarray(view.gt_packed),
+            cam=camera_inputs(view.camera, view.img_size))
+        step = get_step(view.img_size, view.has_alpha, alpha_is_mask,
+                        isect_cap)
+        state, stats, aux = step(state, batch)
+        it += 1
+
+        if it % pcfg.log_every == 0 or it == tcfg.total_train_iters:
+            n_isects = int(aux.num_isects)
+            msg = TrainMessage("step", it, dict(
+                loss=float(stats.loss),
+                num_visible=int(stats.num_visible),
+                splats=int(state.splats.n_alive),
+                isects=n_isects,
+                sps=pcfg.log_every / max(
+                    time.perf_counter() - t_start, 1e-9),
+            ))
+            t_start = time.perf_counter()
+            if on_message:
+                on_message(msg)
+            yield msg
+            if n_isects > isect_cap:
+                isect_cap = _next_pow2(int(n_isects * 1.3))
+                step_cache.clear()
+
+        # Refine cadence: every refine_every until 95% progress
+        # (train_stream.rs:321-327).
+        if (it % tcfg.refine_every == 0
+                and it < tcfg.total_train_iters * 0.95):
+            # Grow capacity ahead of demand (the only recompile).
+            cap = state.splats.capacity
+            if int(state.splats.n_alive) > 0.8 * cap and cap < tcfg.max_splats:
+                new_cap = min(_next_pow2(cap * 2), _next_pow2(tcfg.max_splats))
+                state = _grow_state(state, new_cap)
+                refine_jit = jax.jit(
+                    lambda s: refine_step(s, tcfg, centers, focals))
+                step_cache.clear()
+            state, rstats = refine_jit(state)
+            msg = TrainMessage("refine", it, dict(
+                added=int(rstats.num_added), pruned=int(rstats.num_pruned),
+                total=int(rstats.total_splats)))
+            if on_message:
+                on_message(msg)
+            yield msg
+
+        if pcfg.eval_every and it % pcfg.eval_every == 0 and ds.eval:
+            yield _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader)
+
+        if pcfg.export_every and it % pcfg.export_every == 0:
+            path = pcfg.export_path.format(iter=it)
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            Path(path).write_bytes(
+                ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
+            yield TrainMessage("export", it, dict(path=path))
+
+    # Final export.
+    path = pcfg.export_path.format(iter=it)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_bytes(
+        ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
+    yield TrainMessage("export", it, dict(path=path, final=True))
+
+
+def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader):
+    from brush_tpu.data.scene import load_image, pack_rgba
+
+    pairs = []
+    img_size = None
+    for v in ds.eval.views:
+        arr, _ = load_image(ds.eval.vfs, v.image_path, lcfg.max_resolution,
+                            mask_path=v.mask_path)
+        packed = pack_rgba(arr, lcfg.alpha_mode)
+        pairs.append((v.camera, jnp.asarray(packed)))
+        img_size = (packed.shape[1], packed.shape[0])
+    rcfg = RenderConfig(img_size=img_size, sh_degree=pcfg.sh_degree,
+                        isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
+    stats = eval_views(state.splats, pairs, rcfg)
+    return TrainMessage("eval", it, dict(psnr=stats.psnr, ssim=stats.ssim))
+
+
+def _grow_state(state: TrainState, new_cap: int) -> TrainState:
+    """Geometric capacity growth: pad splats, moments, refine record."""
+    old_cap = state.splats.capacity
+    pad = new_cap - old_cap
+    splats = grow_capacity(state.splats, new_cap)
+
+    def pad0(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    opt = {name: st.replace(moment1=pad0(st.moment1),
+                            moment2=pad0(st.moment2))
+           for name, st in state.opt.items()}
+    refine = jax.tree_util.tree_map(pad0, state.refine)
+    return state.replace(splats=splats, opt=opt, refine=refine)

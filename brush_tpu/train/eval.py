@@ -1,0 +1,47 @@
+"""Evaluation: PSNR / SSIM over eval views.
+
+Counterpart of brush-train/src/eval.rs:22-63: render on a black background,
+simulate the 8-bit roundtrip, PSNR = 10*log10(1 / mean(L1^2)), SSIM via the
+fused loss map."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from brush_tpu.models.splats import Splats
+from brush_tpu.ops import loss as loss_mod
+from brush_tpu.render import RenderConfig, camera_inputs, render
+
+
+@dataclasses.dataclass
+class EvalStats:
+    psnr: float
+    ssim: float
+    per_view_psnr: list
+    per_view_ssim: list
+
+
+def eval_views(splats: Splats, views, rcfg: RenderConfig) -> EvalStats:
+    """`views`: iterable of (camera, gt_packed [H,W] u32) pairs."""
+    psnrs, ssims = [], []
+    folded = splats.fold_min_scale()
+    black = jnp.zeros(3, jnp.float32)
+    for camera, gt_packed in views:
+        cam = camera_inputs(camera, rcfg.img_size)
+        img, _ = render(folded.means, folded.log_scales, folded.quats,
+                        folded.sh_coeffs, folded.raw_opacities,
+                        cam, black, rcfg)
+        # 8-bit roundtrip simulation (eval.rs:36-43).
+        rgb = jnp.round(jnp.clip(img[..., :3], 0.0, 1.0) * 255.0) / 255.0
+        psnrs.append(float(loss_mod.psnr(rgb, gt_packed)))
+        ssims.append(float(loss_mod.ssim(rgb, gt_packed)))
+    return EvalStats(
+        psnr=float(np.mean(psnrs)) if psnrs else float("nan"),
+        ssim=float(np.mean(ssims)) if ssims else float("nan"),
+        per_view_psnr=psnrs,
+        per_view_ssim=ssims,
+    )

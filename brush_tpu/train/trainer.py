@@ -66,6 +66,8 @@ class TrainState:
     step: jnp.ndarray            # [] int32
     rng: jnp.ndarray             # PRNG key
     median_scale: jnp.ndarray    # [] f32, bounds.median_size() (train.rs:185)
+    bounds_center: jnp.ndarray = None   # [3] percentile-0.8 scene bounds
+    bounds_extent: jnp.ndarray = None   # [3]
 
 
 class SceneBatch(NamedTuple):
@@ -83,7 +85,13 @@ class TrainStepStats(NamedTuple):
 
 
 def init_train_state(splats: Splats, rng: jnp.ndarray,
-                     median_scale: float | jnp.ndarray) -> TrainState:
+                     median_scale: float | jnp.ndarray | None = None,
+                     ) -> TrainState:
+    """Build a fresh train state. Bounds (and hence the median scale that
+    multiplies the mean LR, train.rs:185) come from the live splat means at
+    percentile 0.8 unless `median_scale` overrides them."""
+    from brush_tpu.train import refine as refine_mod
+
     opt = {
         "means": init_state(splats.means),
         "quats": init_state(splats.quats),
@@ -91,13 +99,20 @@ def init_train_state(splats: Splats, rng: jnp.ndarray,
         "sh_coeffs": init_state(splats.sh_coeffs, reduce_moment_2=True),
         "raw_opacities": init_state(splats.raw_opacities),
     }
+    alive = jnp.arange(splats.capacity) < splats.n_alive
+    center, extent = refine_mod._percentile_bounds(
+        splats.means, alive, 0.8)
+    med = (jnp.asarray(median_scale, jnp.float32)
+           if median_scale is not None else refine_mod.median_size(extent))
     return TrainState(
         splats=splats,
         opt=opt,
         refine=RefineRecord.zeros(splats.capacity),
         step=jnp.zeros((), jnp.int32),
         rng=rng,
-        median_scale=jnp.asarray(median_scale, jnp.float32),
+        median_scale=med,
+        bounds_center=center,
+        bounds_extent=extent,
     )
 
 

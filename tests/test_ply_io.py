@@ -1,0 +1,71 @@
+"""PLY import/export roundtrip and format compatibility."""
+
+import io
+
+import numpy as np
+
+from brush_tpu.io.ply import SplatData, load_splat_ply, save_splat_ply
+from brush_tpu.ops.sh import num_sh_coeffs
+
+
+def make_params(n=17, k=num_sh_coeffs(3), seed=3):
+    rng = np.random.default_rng(seed)
+    return dict(
+        means=rng.normal(0, 2, (n, 3)).astype(np.float32),
+        log_scales=rng.normal(-2, 0.5, (n, 3)).astype(np.float32),
+        quats=rng.normal(0, 1, (n, 4)).astype(np.float32),
+        sh_coeffs=rng.normal(0, 0.3, (n, k, 3)).astype(np.float32),
+        raw_opacities=rng.normal(0, 1, n).astype(np.float32),
+    )
+
+
+def test_roundtrip_binary():
+    p = make_params()
+    buf = io.BytesIO()
+    save_splat_ply(buf, **p, up_axis="z")
+    buf.seek(0)
+    d = load_splat_ply(buf)
+    assert d.num_splats == 17
+    assert d.up_axis == "z"
+    np.testing.assert_allclose(d.means, p["means"], rtol=1e-6)
+    np.testing.assert_allclose(d.log_scales, p["log_scales"], rtol=1e-6)
+    np.testing.assert_allclose(d.rotations, p["quats"], rtol=1e-6)
+    np.testing.assert_allclose(d.sh_coeffs, p["sh_coeffs"], rtol=1e-6)
+    np.testing.assert_allclose(d.raw_opacities, p["raw_opacities"], rtol=1e-6)
+
+
+def test_roundtrip_dc_only():
+    p = make_params(k=1)
+    buf = io.BytesIO()
+    save_splat_ply(buf, **p)
+    buf.seek(0)
+    d = load_splat_ply(buf)
+    assert d.sh_coeffs.shape == (17, 1, 3)
+    np.testing.assert_allclose(d.sh_coeffs, p["sh_coeffs"], rtol=1e-6)
+
+
+def test_plain_point_cloud_rgb():
+    """Plain xyz+rgb ply (e.g., COLMAP export) -> DC-only splat data."""
+    n = 5
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 5\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+              b"end_header\n")
+    xyz = np.arange(15, dtype="<f4").reshape(5, 3)
+    rgb = np.arange(15, dtype=np.uint8).reshape(5, 3)
+    body = b"".join(xyz[i].tobytes() + rgb[i].tobytes() for i in range(n))
+    d = load_splat_ply(io.BytesIO(header + body))
+    assert d.num_splats == 5
+    np.testing.assert_allclose(d.means, xyz)
+    assert d.sh_coeffs is not None and d.sh_coeffs.shape == (5, 1, 3)
+    assert d.log_scales is None and d.rotations is None
+
+
+def test_ascii_ply():
+    header = (b"ply\nformat ascii 1.0\nelement vertex 2\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"end_header\n"
+              b"1.0 2.0 3.0\n4.0 5.0 6.0\n")
+    d = load_splat_ply(io.BytesIO(header))
+    np.testing.assert_allclose(d.means, [[1, 2, 3], [4, 5, 6]])
