@@ -16,21 +16,21 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
 
     from brush_tpu.camera import Camera
     from brush_tpu.render import RenderConfig, camera_inputs, render
-    from brush_tpu.train.splat_init import create_random_splats
+    from brush_tpu.utils.synthetic import bench_splats
 
     n_splats = 1_000_000
     img = (1920, 1080)
 
-    rng = np.random.default_rng(42)
-    cam = Camera(position=np.array([0.0, 0.0, -8.0]),
+    cam = Camera(position=np.array([0.0, 0.0, -18.0]),
                  rotation=np.array([1.0, 0.0, 0.0, 0.0]),
-                 fov_x=1.1, fov_y=0.7)
-    splats = create_random_splats(n_splats, [cam], rng,
-                                  scene_scale_override=10.0, sh_degree=3)
+                 fov_x=1.0, fov_y=0.62)
+    splats = bench_splats(n_splats, sh_degree=3)
 
     rcfg = RenderConfig(img_size=img, sh_degree=3, isect_cap=1 << 23,
                         use_pallas=True)

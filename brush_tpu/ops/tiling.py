@@ -100,6 +100,21 @@ def will_contribute(
     return (in_x & in_y) | (sigma <= power_threshold)
 
 
+def _cummax_flat(x):
+    """Inclusive running max via a flat Hillis-Steele ladder: log2(n)
+    shift+max pairs. jax.lax.associative_scan's recursive odd/even
+    decomposition takes the TPU compiler >15 min at 8M elements; this
+    compiles in seconds and runs at the same O(n log n) elementwise cost."""
+    n = x.shape[0]
+    lo = jnp.iinfo(x.dtype).min
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate([jnp.full((s,), lo, x.dtype), x[:-s]])
+        x = jnp.maximum(x, shifted)
+        s *= 2
+    return x
+
+
 def _owner_from_starts(starts, nonempty, n, isect_cap):
     """owner[slot] = compact index of the splat whose [start, start+count)
     block contains the slot: scatter (i+1) markers at non-empty starts, then
@@ -108,7 +123,7 @@ def _owner_from_starts(starts, nonempty, n, isect_cap):
     idx = jnp.where(nonempty, starts, isect_cap)
     marks = jnp.zeros((isect_cap,), jnp.int32).at[idx].max(
         jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")
-    owner = jax.lax.associative_scan(jnp.maximum, marks) - 1
+    owner = _cummax_flat(marks) - 1
     return jnp.clip(owner, 0, n - 1)
 
 
@@ -195,10 +210,12 @@ def build_intersections(
     new_pos = jnp.where((tile_sorted < num_tiles) & (new_pos < isect_cap),
                         new_pos, isect_cap)    # sentinel/overflow -> dropped
 
-    gid2 = jnp.zeros((isect_cap,), jnp.int32).at[new_pos].set(
-        gid_sorted, mode="drop")
-    valid2 = jnp.zeros((isect_cap,), bool).at[new_pos].set(
-        True, mode="drop")
+    # One scatter: gid+1 with 0 meaning "padding slot" (saves a second
+    # 8M-element scatter for the validity mask).
+    gid_p1 = jnp.zeros((isect_cap,), jnp.int32).at[new_pos].set(
+        gid_sorted + 1, mode="drop")
+    valid2 = gid_p1 > 0
+    gid2 = jnp.maximum(gid_p1 - 1, 0)
 
     return Intersections(
         perm=perm,
