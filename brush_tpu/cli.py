@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--no-pallas", action="store_true",
                     help="use the XLA-only rasterizer (debug)")
     pr.add_argument("--log-every", type=int, default=50)
+
+    v = p.add_argument_group("Viewer options")
+    v.add_argument("--view", action="store_true",
+                   help="serve the source (.ply / zip of plys) in the web viewer")
+    v.add_argument("--port", type=int, default=8080)
     return p
 
 
@@ -123,6 +128,12 @@ def configs_from_args(a) -> tuple[TrainConfig, LoadConfig, ProcessConfig]:
 def main(argv=None):
     argv = merge_args_file(argv if argv is not None else sys.argv[1:])
     a = build_parser().parse_args(argv)
+
+    if a.view:
+        from brush_tpu.viewer.service import serve
+        serve(a.source, port=a.port, sh_degree=a.sh_degree,
+              use_pallas=not a.no_pallas)
+        return 0
 
     if a.source.lower().endswith(".ply"):
         from brush_tpu.io.ply import load_splat_ply

@@ -6,10 +6,13 @@ TPU-first design notes (SURVEY.md §7):
 * No compaction / atomics — everything is computed for all N (padded-capacity)
   splats with a `visible` mask; downstream tiling sorts culled splats to the
   end with +inf depth keys, keeping the whole step jit-compiled.
-* Culled splats are *sanitized before the nonlinear math* (double-where) so
-  reverse-mode autodiff never multiplies a zero cotangent with a NaN/Inf
-  primal. The reference gets the equivalent guarantee by writing dense
-  gradients only for visible splats.
+* Two-pass NaN safety: pass 1 evaluates every culling gate under
+  stop_gradient (no grad paths, NaN-tolerant comparisons); pass 2 runs the
+  differentiable math on inputs fully sanitized by that mask. This is the
+  "double-where" rule taken to its conclusion — a splat failing ANY gate
+  (even a late one like opacity < 1/255, whose sigmoid VJP is inf/inf = NaN
+  at raw = -1e38) contributes exactly zero gradient. The reference gets the
+  equivalent guarantee by writing dense gradients only for visible splats.
 * Gates are positive-phrased so NaN reliably fails them (NaN comparisons are
   False in XLA exactly as in WGSL).
 """
@@ -67,72 +70,56 @@ class ProjectedSplats:
     max_radius: jnp.ndarray     # [N] screen-fraction radius (refine stat)
 
 
-def _is_finite(x):
-    return jnp.isfinite(x)
+def _sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
 
 
-def project_splats(
-    means: jnp.ndarray,          # [N,3]
-    log_scales: jnp.ndarray,     # [N,3]
-    quats: jnp.ndarray,          # [N,4] wxyz, not necessarily normalized
-    sh_coeffs: jnp.ndarray,      # [N,K,3]
-    raw_opacities: jnp.ndarray,  # [N]
-    cam: CameraInputs,
-    img_size: tuple[int, int],   # (w, h), static
-    *,
-    sh_degree: int,
-    model: CameraModel = Pinhole(),
-    mip_splatting: bool = False,
-) -> ProjectedSplats:
+def _project_math(means, log_scales, quats, sh_coeffs, raw_opacities,
+                  cam: CameraInputs, img_size, sh_degree, model,
+                  mip_splatting):
+    """The full projection math + every gate; assumes inputs won't poison
+    gradients (callers sanitize). Returns (ProjectedSplats, ok)."""
     img_w, img_h = img_size
     tile_bw = -(-img_w // TILE_WIDTH)
     tile_bh = -(-img_h // TILE_WIDTH)
 
     rot = cam.viewmat[:, :3]
     trans = cam.viewmat[:, 3]
-    mean_c_raw = jnp.einsum("ni,ji->nj", means, rot,
-                            precision=jax.lax.Precision.HIGHEST) + trans  # [N,3]
+    mean_c = jnp.einsum("ni,ji->nj", means, rot,
+                        precision=jax.lax.Precision.HIGHEST) + trans
 
     # --- Culling gates (project_forward.rs:44-111) ---
-    z = mean_c_raw[..., 2]
-    ok = jnp.all(_is_finite(mean_c_raw), axis=-1) & (z <= MAX_VIEW_Z)
+    z = mean_c[..., 2]
+    ok = jnp.all(jnp.isfinite(mean_c), axis=-1) & (z <= MAX_VIEW_Z)
     if is_fisheye(model):
-        r = jnp.sqrt(mean_c_raw[..., 0] ** 2 + mean_c_raw[..., 1] ** 2)
+        r = jnp.sqrt(mean_c[..., 0] ** 2 + mean_c[..., 1] ** 2)
         theta = jnp.arctan2(r, z)
         ok &= theta <= cam.half_max_render_fov
     else:
         ok &= z >= NEAR_PLANE
 
-    scales_raw = jnp.exp(log_scales)
-    ok &= jnp.all(_is_finite(scales_raw), axis=-1)
+    scale = jnp.exp(log_scales)
+    ok &= jnp.all(jnp.isfinite(scale), axis=-1)
 
     qnorm_sq = jnp.sum(quats * quats, axis=-1)
-    ok &= (qnorm_sq >= QUAT_NORM_SQ_MIN) & _is_finite(qnorm_sq)
-    ok &= _is_finite(raw_opacities)
+    ok &= (qnorm_sq >= QUAT_NORM_SQ_MIN) & jnp.isfinite(qnorm_sq)
+    ok &= jnp.isfinite(raw_opacities)
 
-    # --- Sanitize inputs for the nonlinear math (double-where) ---
-    okc = ok[:, None]
-    mean_c = jnp.where(okc, mean_c_raw, jnp.array([0.0, 0.0, 1.0]))
-    log_scales_s = jnp.where(okc, log_scales, 0.0)
-    quats_s = jnp.where(okc, quats, jnp.array([1.0, 0.0, 0.0, 0.0]))
-    raw_opac_s = jnp.where(ok, raw_opacities, -10.0)
-    means_s = jnp.where(okc, means, cam.cam_pos + jnp.array([0.0, 0.0, 1.0]))
-
-    scale = jnp.exp(log_scales_s)
-    qn = quats_s / jnp.sqrt(jnp.sum(quats_s * quats_s, axis=-1, keepdims=True))
+    qn = quats / jnp.sqrt(jnp.maximum(qnorm_sq[:, None], 1e-32))
 
     # --- cov2d (helpers.rs calc_cov2d:142-171) ---
-    # ns = W_rot * R(q) * diag(scale); cov2d_raw = (J ns)(J ns)^T.
     ns = jnp.einsum("ij,njk->nik", rot, quat_to_rotmat(qn),
                     precision=jax.lax.Precision.HIGHEST) * scale[:, None, :]
-    jac = camera_proj.projection_jacobian(mean_c, cam.pinhole, cam.clamp_limits, model)
+    jac = camera_proj.projection_jacobian(mean_c, cam.pinhole,
+                                          cam.clamp_limits, model)
     v = jnp.einsum("nij,njk->nik", jac, ns,
                    precision=jax.lax.Precision.HIGHEST)  # [N,2,3]
     c00 = jnp.sum(v[:, 0] * v[:, 0], axis=-1)
     c01 = jnp.sum(v[:, 0] * v[:, 1], axis=-1)
     c11 = jnp.sum(v[:, 1] * v[:, 1], axis=-1)
     max_abs = jnp.maximum(jnp.maximum(jnp.abs(c00), jnp.abs(c11)), jnp.abs(c01))
-    scale_down = jnp.where(max_abs > COV2D_ENTRY_CLAMP, COV2D_ENTRY_CLAMP / max_abs, 1.0)
+    scale_down = jnp.where(max_abs > COV2D_ENTRY_CLAMP,
+                           COV2D_ENTRY_CLAMP / jnp.maximum(max_abs, 1e-30), 1.0)
     c00, c01, c11 = c00 * scale_down, c01 * scale_down, c11 * scale_down
 
     # --- Mip blur + compensation (helpers.rs compensate_cov2d:177-191) ---
@@ -145,8 +132,8 @@ def project_splats(
     else:
         filter_comp = 1.0
 
-    opac = jax_sigmoid(raw_opac_s) * filter_comp
-    ok &= _is_finite(b00) & _is_finite(b11) & _is_finite(c01)
+    opac = _sigmoid(raw_opacities) * filter_comp
+    ok &= jnp.isfinite(b00) & jnp.isfinite(b11) & jnp.isfinite(c01)
     ok &= opac >= ALPHA_CUTOFF_MID
 
     # --- conic = cov2d^-1, zero when non-PD (brush-cube Sym2::inverse) ---
@@ -182,18 +169,19 @@ def project_splats(
     num_tiles_bbox = jnp.where(ok, (max_x - min_x) * (max_y - min_y), 0)
 
     # --- SH color along viewdir (project_visible.rs:54-71) ---
-    viewdir_raw = means_s - cam.cam_pos
+    viewdir_raw = means - cam.cam_pos
     norm = jnp.linalg.norm(viewdir_raw, axis=-1, keepdims=True)
-    viewdir = viewdir_raw / jnp.where(norm > 0, norm, 1.0)
-    color = sh_to_color(sh_coeffs, viewdir, sh_degree) + SH_COLOR_OFFSET
-    color = jnp.where(jnp.isfinite(color), color, 0.0)
+    viewdir = viewdir_raw / jnp.where(norm > 1e-12, norm, 1.0)
+    color_raw = sh_to_color(sh_coeffs, viewdir, sh_degree) + SH_COLOR_OFFSET
+    color_finite = jnp.isfinite(color_raw)
+    color = jnp.where(color_finite, color_raw, 0.0)
     color = jnp.clip(color, -COLOR_CLAMP, COLOR_CLAMP)
 
     max_radius = jnp.where(ok, jnp.maximum(ex / img_w, ey / img_h), 0.0)
 
-    return ProjectedSplats(
+    proj = ProjectedSplats(
         visible=ok,
-        depth=mean_c_raw[..., 2],
+        depth=z,
         mean2d=mean2d,
         conic=conic,
         color=color,
@@ -204,7 +192,55 @@ def project_splats(
         num_tiles_bbox=num_tiles_bbox,
         max_radius=max_radius,
     )
+    return proj, ok, color_finite
 
 
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+def project_splats(
+    means: jnp.ndarray,          # [N,3]
+    log_scales: jnp.ndarray,     # [N,3]
+    quats: jnp.ndarray,          # [N,4] wxyz, not necessarily normalized
+    sh_coeffs: jnp.ndarray,      # [N,K,3]
+    raw_opacities: jnp.ndarray,  # [N]
+    cam: CameraInputs,
+    img_size: tuple[int, int],   # (w, h), static
+    *,
+    sh_degree: int,
+    model: CameraModel = Pinhole(),
+    mip_splatting: bool = False,
+) -> ProjectedSplats:
+    # Pass 1: gates only, gradient-free (NaN comparisons are just False).
+    sg = jax.lax.stop_gradient
+    _, ok, chan_finite = _project_math(
+        sg(means), sg(log_scales), sg(quats), sg(sh_coeffs),
+        sg(raw_opacities), cam, img_size, sh_degree, model, mip_splatting)
+
+    # Pass 2: differentiable math on sanitized inputs. Culled splats become
+    # an inert unit splat in front of the camera with ~zero opacity, whose
+    # gradient chain is finite everywhere and receives zero cotangents.
+    okc = ok[:, None]
+    means_s = jnp.where(okc, means, cam.cam_pos + jnp.array([0.0, 0.0, 1.0]))
+    ls_s = jnp.where(okc, log_scales, 0.0)
+    quats_s = jnp.where(okc, quats, jnp.array([1.0, 0.0, 0.0, 0.0]))
+    # SH sanitized per-coefficient: gates don't check SH (the reference
+    # renders NaN-SH splats with a scrubbed color), so poisoned
+    # coefficients on VISIBLE rows must still be kept out of the
+    # differentiable math — the viewdir gradient multiplies coefficient
+    # values (kernels/sh.rs sh_color_viewdir_vjp).
+    sh_s = jnp.where(jnp.isfinite(sh_coeffs) & ok[:, None, None],
+                     sh_coeffs, 0.0)
+    opac_s = jnp.where(ok, raw_opacities, -10.0)
+
+    proj, ok2, _ = _project_math(means_s, ls_s, quats_s, sh_s, opac_s,
+                                 cam, img_size, sh_degree, model,
+                                 mip_splatting)
+    visible = ok & ok2
+    # Forward parity with the reference's NaN-scrub: a channel whose true
+    # (unsanitized) SH sum was non-finite renders as 0, not as the partial
+    # sum of its finite coefficients.
+    color = jnp.where(chan_finite, proj.color, 0.0)
+    return proj.replace(
+        visible=visible,
+        color=color,
+        num_tiles_bbox=jnp.where(visible, proj.num_tiles_bbox, 0),
+        max_radius=jnp.where(visible, proj.max_radius, 0.0),
+    )

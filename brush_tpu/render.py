@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -112,10 +113,15 @@ def render_with_refine(
 def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
                  cfg: RenderConfig, refine_holder, visible_holder=None,
                  with_visibility: bool = False):
-    proj = project_splats(
-        means, log_scales, quats, sh_coeffs, raw_opacities, cam, cfg.img_size,
-        sh_degree=cfg.sh_degree, model=cfg.model, mip_splatting=cfg.mip_splatting)
-    isect = build_intersections(proj, cfg.img_size, cfg.isect_cap)
+    # Named scopes mirror the reference's tracing spans (render.rs:103-267);
+    # they appear in jax.profiler / xprof traces (SURVEY.md §5.1).
+    with jax.named_scope("ProjectSplats"):
+        proj = project_splats(
+            means, log_scales, quats, sh_coeffs, raw_opacities, cam,
+            cfg.img_size, sh_degree=cfg.sh_degree, model=cfg.model,
+            mip_splatting=cfg.mip_splatting)
+    with jax.named_scope("TileBinning"):
+        isect = build_intersections(proj, cfg.img_size, cfg.isect_cap)
 
     n = means.shape[0]
     if refine_holder is None:
@@ -124,11 +130,12 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
         visible_holder = jnp.zeros(n, jnp.float32)
 
     if cfg.use_pallas:
-        img = rasterize_pallas(
-            proj.mean2d, proj.conic, proj.color, proj.opac,
-            refine_holder, visible_holder,
-            isect.gid_from_isect, isect.isect_valid, isect.tile_ranges, bg,
-            cfg.img_size)
+        with jax.named_scope("Rasterize"):
+            img = rasterize_pallas(
+                proj.mean2d, proj.conic, proj.color, proj.opac,
+                refine_holder, visible_holder,
+                isect.gid_from_isect, isect.isect_valid,
+                isect.tile_ranges, bg, cfg.img_size)
     else:
         img = rasterize(
             proj.mean2d, proj.conic, proj.color, proj.opac,

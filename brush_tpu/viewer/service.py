@@ -1,0 +1,181 @@
+"""Render service + embedded web viewer.
+
+The TPU-host equivalent of the reference's egui viewer (SURVEY.md Appendix F
+scopes this to "a render service + lightweight web client"): an HTTP server
+that renders requested camera poses on the TPU and a self-contained HTML/JS
+orbit-camera client. Loads .ply files, zips of plys (= animation frames,
+alphanumerically sorted, brush-process/src/lib.rs:178-227), or live training
+snapshots via a Slot."""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import PurePosixPath
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from brush_tpu.camera import Camera
+from brush_tpu.viewer.slot import Slot
+
+_CLIENT_HTML = """<!DOCTYPE html>
+<html><head><title>brush_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace;overflow:hidden}
+#hud{position:fixed;top:8px;left:8px;z-index:2;background:#0008;padding:6px}
+canvas{display:block}
+</style></head><body>
+<div id="hud">brush_tpu — drag orbit, wheel zoom, space play/pause</div>
+<canvas id="c"></canvas>
+<script>
+const c=document.getElementById('c'),x=c.getContext('2d');
+let yaw=0,pitch=0.3,dist=5,drag=null,frame=0,playing=false,nframes=1,busy=false;
+function resize(){c.width=innerWidth;c.height=innerHeight}resize();
+onresize=resize;
+c.onmousedown=e=>drag=[e.clientX,e.clientY];
+onmouseup=()=>drag=null;
+onmousemove=e=>{if(drag){yaw+=(e.clientX-drag[0])*0.008;
+pitch=Math.max(-1.5,Math.min(1.5,pitch+(e.clientY-drag[1])*0.008));drag=[e.clientX,e.clientY];}};
+onwheel=e=>{dist*=Math.exp(e.deltaY*0.001)};
+onkeydown=e=>{if(e.code==='Space')playing=!playing};
+fetch('/info').then(r=>r.json()).then(i=>{nframes=i.n_frames||1;
+document.getElementById('hud').textContent+=` | ${i.n_splats} splats, ${nframes} frame(s)`});
+async function loop(){
+  if(!busy){busy=true;
+    const px=dist*Math.cos(pitch)*Math.sin(yaw),py=dist*Math.sin(pitch),
+          pz=-dist*Math.cos(pitch)*Math.cos(yaw);
+    if(playing)frame=(frame+1)%nframes;
+    const w=Math.min(640,c.width),h=Math.min(480,c.height);
+    try{
+      const r=await fetch(`/render?px=${px}&py=${py}&pz=${pz}&yaw=${yaw}&pitch=${pitch}&w=${w}&h=${h}&frame=${frame}`);
+      const b=await r.blob();const img=await createImageBitmap(b);
+      x.drawImage(img,0,0,c.width,c.height);
+    }catch(e){}
+    busy=false;}
+  requestAnimationFrame(loop);}
+loop();
+</script></body></html>"""
+
+
+class ViewerState:
+    def __init__(self, slot: Slot, sh_degree: int, isect_cap: int = 1 << 20,
+                 use_pallas: bool = True):
+        self.slot = slot
+        self.sh_degree = sh_degree
+        self.isect_cap = isect_cap
+        self.use_pallas = use_pallas
+        self.lock = threading.Lock()  # single TPU: serialize renders
+
+    def render_pose(self, pos, yaw, pitch, w, h, frame):
+        import jax.numpy as jnp
+        from brush_tpu.render import RenderConfig, camera_inputs, render
+
+        splats = self.slot.get(frame)
+        if splats is None:
+            return np.zeros((h, w, 3), np.uint8)
+        # Look-at-origin orbit pose.
+        cy, sy = math.cos(yaw), math.sin(yaw)
+        cp, sp = math.cos(pitch), math.sin(pitch)
+        # Camera looks from pos toward the origin (forward = -pos dir = +z cam)
+        fwd = -np.asarray(pos)
+        fwd = fwd / max(np.linalg.norm(fwd), 1e-9)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= max(np.linalg.norm(right), 1e-9)
+        up2 = np.cross(fwd, right)
+        r = np.stack([right, up2, fwd], axis=1)  # c2w columns
+        from brush_tpu.data.colmap import _rotmat_to_quat
+        cam = Camera(position=np.asarray(pos), rotation=_rotmat_to_quat(r),
+                     fov_x=1.0, fov_y=1.0 * h / w)
+        cfg = RenderConfig(img_size=(w, h), sh_degree=self.sh_degree,
+                           isect_cap=self.isect_cap,
+                           use_pallas=self.use_pallas)
+        folded = splats.fold_min_scale()
+        with self.lock:
+            img, _ = render(folded.means, folded.log_scales, folded.quats,
+                            folded.sh_coeffs, folded.raw_opacities,
+                            camera_inputs(cam, (w, h)),
+                            jnp.zeros(3, jnp.float32), cfg)
+            arr = np.asarray(img)
+        return (np.clip(arr[..., :3], 0, 1) * 255).astype(np.uint8)
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/":
+                self._send(200, "text/html", _CLIENT_HTML.encode())
+            elif u.path == "/info":
+                s = state.slot.get(0)
+                info = dict(
+                    n_splats=0 if s is None else int(s.n_alive),
+                    n_frames=state.slot.n_frames,
+                    version=state.slot.version)
+                self._send(200, "application/json", json.dumps(info).encode())
+            elif u.path == "/render":
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                pos = [float(q.get("px", 0)), float(q.get("py", 0)),
+                       float(q.get("pz", -5))]
+                w = min(int(q.get("w", 512)), 1920)
+                h = min(int(q.get("h", 384)), 1080)
+                arr = state.render_pose(
+                    pos, float(q.get("yaw", 0)), float(q.get("pitch", 0)),
+                    w, h, int(q.get("frame", 0)))
+                from PIL import Image
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, "JPEG", quality=88)
+                self._send(200, "image/jpeg", buf.getvalue())
+            else:
+                self._send(404, "text/plain", b"not found")
+
+    return Handler
+
+
+def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3):
+    """.ply or zip/dir of plys -> frames (alphanumeric order = animation)."""
+    from brush_tpu.data.vfs import Vfs
+    from brush_tpu.io.ply import load_splat_ply
+    from brush_tpu.train.splat_init import to_init_splats
+
+    vfs = Vfs(source)
+    plys = sorted(vfs.files_with_extension("ply"),
+                  key=lambda p: PurePosixPath(p).name)
+    if not plys:
+        raise ValueError(f"no .ply files in {source}")
+    for i, p in enumerate(plys):
+        d = load_splat_ply(vfs.open(p))
+        splats = to_init_splats(d.means, d.log_scales, d.rotations,
+                                d.sh_coeffs, d.raw_opacities)
+        slot.set(i, splats.with_sh_degree(sh_degree))
+
+
+def serve(source: str | None = None, slot: Slot | None = None,
+          host: str = "0.0.0.0", port: int = 8080, sh_degree: int = 3,
+          use_pallas: bool = True, blocking: bool = True):
+    """Start the viewer. Either a ply `source` or a live `slot`."""
+    slot = slot or Slot()
+    if source:
+        load_source_into_slot(source, slot, sh_degree)
+    state = ViewerState(slot, sh_degree, use_pallas=use_pallas)
+    server = ThreadingHTTPServer((host, port), make_handler(state))
+    if blocking:
+        print(f"viewer on http://{host}:{port}")
+        server.serve_forever()
+    else:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+    return server

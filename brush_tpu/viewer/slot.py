@@ -1,0 +1,41 @@
+"""Latest-wins, frame-indexed splat snapshots.
+
+Counterpart of brush-process/src/slot.rs: the trainer (or a ply stream)
+publishes splat snapshots per frame index; a viewer reads the latest without
+blocking the producer. Animations are just multiple frame indices
+(brush-process/src/lib.rs:178-227)."""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+from brush_tpu.models.splats import Splats
+
+
+class Slot:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._frames: dict[int, Splats] = {}
+        self._version = 0
+
+    def set(self, frame: int, splats: Splats) -> None:
+        with self._lock:
+            self._frames[frame] = splats
+            self._version += 1
+
+    def get(self, frame: int = 0) -> Optional[Splats]:
+        with self._lock:
+            if frame in self._frames:
+                return self._frames[frame]
+            return self._frames.get(max(self._frames)) if self._frames else None
+
+    @property
+    def n_frames(self) -> int:
+        with self._lock:
+            return len(self._frames)
+
+    @property
+    def version(self) -> int:
+        with self._lock:
+            return self._version

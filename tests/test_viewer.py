@@ -1,0 +1,68 @@
+"""Viewer service: ply/zip loading, animation frames, HTTP render endpoint."""
+
+import io
+import json
+import urllib.request
+import zipfile
+
+import numpy as np
+import pytest
+
+from brush_tpu.io.ply import save_splat_ply
+from brush_tpu.viewer.service import Slot, load_source_into_slot, serve
+
+
+def write_ply(path, n=32, seed=0, shift=0.0):
+    rng = np.random.default_rng(seed)
+    save_splat_ply(
+        str(path),
+        means=rng.normal(shift, 0.5, (n, 3)),
+        log_scales=np.full((n, 3), np.log(0.1)),
+        quats=np.tile([1, 0, 0, 0], (n, 1)).astype(np.float32),
+        sh_coeffs=rng.normal(0, 0.3, (n, 1, 3)),
+        raw_opacities=np.full(n, 1.0),
+    )
+
+
+def test_animation_zip_frames(tmp_path):
+    for i in range(3):
+        write_ply(tmp_path / f"frame_{i}.ply", seed=i, shift=0.2 * i)
+    zp = tmp_path / "anim.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for i in range(3):
+            z.write(tmp_path / f"frame_{i}.ply", f"frame_{i}.ply")
+    slot = Slot()
+    load_source_into_slot(str(zp), slot, sh_degree=0)
+    assert slot.n_frames == 3
+    s0, s2 = slot.get(0), slot.get(2)
+    assert int(s0.n_alive) == 32
+    assert not np.allclose(np.asarray(s0.means)[:32], np.asarray(s2.means)[:32])
+
+
+def test_http_render_endpoint(tmp_path):
+    write_ply(tmp_path / "scene.ply")
+    server = serve(str(tmp_path / "scene.ply"), port=0, sh_degree=0,
+                   use_pallas=False, blocking=False)
+    try:
+        port = server.server_address[1]
+        info = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/info", timeout=60).read())
+        assert info["n_splats"] == 32
+        assert info["n_frames"] == 1
+
+        img_bytes = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?px=0&py=0&pz=-4&w=64&h=48",
+            timeout=300).read()
+        from PIL import Image
+        img = Image.open(io.BytesIO(img_bytes))
+        assert img.size == (64, 48)
+
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=60).read()
+        assert b"brush_tpu" in html
+
+        # Unknown path -> 404.
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=60)
+    finally:
+        server.shutdown()
