@@ -552,6 +552,47 @@ def image_to_tiles(img, img_size):
         tbh * tbw, 8, TILE_PIX)
 
 
+def _cumsum_flat_rows(x):
+    """Inclusive prefix sum along axis 1 via a flat shift+add ladder
+    (associative_scan's recursive form compiles pathologically at 8M)."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros((x.shape[0], s), x.dtype), x[:, :-s]], axis=1)
+        x = x + shifted
+        s *= 2
+    return x
+
+
+def _segment_sum_sorted(g, gid, n):
+    """sum g[:, i] per gid value -> [n, C], no duplicate-index scatters.
+
+    Sort by gid (stable O(25ms) lax.sort), inclusive prefix-sum each
+    channel, then scatter the boundary cumsums with UNIQUE indices: for a
+    splat's segment [first, last], sum = cs[last] - cs[first - 1].
+    """
+    c, i_cap = g.shape
+    ops = jax.lax.sort((gid,) + tuple(g[k] for k in range(c)), num_keys=1)
+    gid_s = ops[0]
+    gs = jnp.stack(ops[1:], axis=0)                     # [C, I] sorted
+    cs = _cumsum_flat_rows(gs)                          # [C, I]
+
+    prev_g = jnp.concatenate([jnp.full((1,), -1, gid_s.dtype), gid_s[:-1]])
+    next_g = jnp.concatenate([gid_s[1:], jnp.full((1,), -1, gid_s.dtype)])
+    seg_first = gid_s != prev_g
+    seg_last = gid_s != next_g
+    cs_prev = jnp.concatenate(
+        [jnp.zeros((c, 1), cs.dtype), cs[:, :-1]], axis=1)
+
+    idx_last = jnp.where(seg_last, gid_s, n)            # unique (pad dropped)
+    ends = jnp.zeros((n, c), jnp.float32).at[idx_last].set(cs.T, mode="drop")
+    idx_first = jnp.where(seg_first, gid_s, n)
+    before = jnp.zeros((n, c), jnp.float32).at[idx_first].set(
+        cs_prev.T, mode="drop")
+    return ends - before
+
+
 def _use_interpret():
     import jax as _jax
     return _jax.default_backend() == "cpu"
@@ -605,20 +646,22 @@ def _rasterize_pallas_bwd(img_size, res, v_img):
     # `where`, not multiply: sentinel-region slots are never written by the
     # kernel and may hold NaN garbage (0 * NaN would poison splat 0).
     g = jnp.where(isect_valid[None, :], grads_soa, 0.0)
-    gid = gid_from_isect
 
-    v_mean2d = jnp.zeros((n, 2), jnp.float32).at[gid].add(
-        jnp.stack([g[0], g[1]], axis=-1))
-    v_conic = jnp.zeros((n, 3), jnp.float32).at[gid].add(
-        jnp.stack([g[2], g[3], g[4]], axis=-1))
-    v_opac = jnp.zeros((n,), jnp.float32).at[gid].add(g[5])
-    v_color = jnp.zeros((n, 3), jnp.float32).at[gid].add(
-        jnp.stack([g[6], g[7], g[8]], axis=-1))
-    v_refine = jnp.zeros((n,), jnp.float32).at[gid].add(g[9])
-    v_refine = jnp.clip(jnp.nan_to_num(v_refine, nan=0.0), 0.0,
+    # Per-splat reduction WITHOUT duplicate-index scatter-adds (those
+    # serialize on TPU: ~3.5s at 8M intersections). Sort grads by splat id,
+    # prefix-sum each channel, and difference the cumsum at segment
+    # boundaries — only unique-index scatters remain (~10x faster). This is
+    # the segment_sum substitute SURVEY.md §2.1 prescribes for the
+    # reference's f32 atomic adds (rasterize_backwards.rs HfAtomicAdd).
+    per_splat = _segment_sum_sorted(g[:11], gid_from_isect, n)  # [n, 11]
+
+    v_mean2d = per_splat[:, 0:2]
+    v_conic = per_splat[:, 2:5]
+    v_opac = per_splat[:, 5]
+    v_color = per_splat[:, 6:9]
+    v_refine = jnp.clip(jnp.nan_to_num(per_splat[:, 9], nan=0.0), 0.0,
                         REFINE_WEIGHT_CLAMP)
-    v_visible = jnp.zeros((n,), jnp.float32).at[gid].max(
-        (g[10] > 0.0).astype(jnp.float32))
+    v_visible = (per_splat[:, 10] > 0.0).astype(jnp.float32)
 
     # v_bg = sum_p T_p * v_rgb_p over real pixels (tiles carry T in row 4).
     img_w, img_h = img_size

@@ -105,11 +105,17 @@ def train_process(
     lcfg: LoadConfig | None = None,
     pcfg: ProcessConfig | None = None,
     on_message: Callable[[TrainMessage], None] | None = None,
+    slot=None,                 # viewer.Slot: live splat snapshots
+    telemetry_dir: str | None = None,
 ) -> Iterator[TrainMessage]:
     """Full training run as a message stream (train_stream.rs:34-503)."""
     tcfg = tcfg or TrainConfig()
     lcfg = lcfg or LoadConfig()
     pcfg = pcfg or ProcessConfig()
+    telem = None
+    if telemetry_dir:
+        from brush_tpu.utils.telemetry import TelemetryLogger
+        telem = TelemetryLogger(telemetry_dir)
     if pcfg.total_iters:
         tcfg = dataclasses.replace(tcfg, total_train_iters=pcfg.total_iters)
 
@@ -170,6 +176,11 @@ def train_process(
             t_start = time.perf_counter()
             if on_message:
                 on_message(msg)
+            if telem:
+                telem.log_scalars(it, **{k: v for k, v in msg.data.items()
+                                         if isinstance(v, (int, float))})
+            if slot is not None:
+                slot.set(0, state.splats)
             yield msg
             if n_isects > isect_cap:
                 isect_cap = _next_pow2(int(n_isects * 1.3))
@@ -211,6 +222,63 @@ def train_process(
     Path(path).write_bytes(
         ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
     yield TrainMessage("export", it, dict(path=path, final=True))
+
+    # --- LOD baking phases (train_stream.rs:220-291, lod.rs) ---
+    if tcfg.lod_levels > 0:
+        from brush_tpu.train.lod import decimate_to_count, pup_scores
+
+        lod_loader = None
+        for level in range(1, tcfg.lod_levels + 1):
+            # PUP scores over a handful of training views at reduced res.
+            score_views = ds.train.views[::max(1, len(ds.train.views) // 8)]
+            w, h = image_dims(ds.train.vfs, score_views[0].image_path,
+                              lcfg.max_resolution, subscale=2)
+            score_rcfg = RenderConfig(
+                img_size=(w, h), sh_degree=pcfg.sh_degree,
+                isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
+            cams = [camera_inputs(v.camera, (w, h)) for v in score_views]
+            scores = pup_scores(state.splats, cams, score_rcfg,
+                                jax.random.PRNGKey(level), n_probes=4)
+            keep = int(int(state.splats.n_alive)
+                       * (tcfg.lod_decimation_keep / 100.0))
+            new_splats = decimate_to_count(state.splats, scores, keep)
+            state = init_train_state(new_splats, state.rng)
+
+            # Fine-tune on downscaled images, growth disabled.
+            sub = max(1, round(100 / max(tcfg.lod_image_scale, 1)))
+            lod_scene = dataclasses.replace(ds.train, subscale=sub)
+            if lod_loader:
+                lod_loader.stop()
+            lod_loader = SceneLoader(lod_scene, seed=pcfg.seed + level,
+                                     alpha_mode=lcfg.alpha_mode)
+            lod_tcfg = dataclasses.replace(
+                tcfg, growth_stop_iter=0,
+                total_train_iters=tcfg.lod_refine_steps)
+            lod_cache = {}
+            for i in range(tcfg.lod_refine_steps):
+                view = next(lod_loader)
+                key = view.img_size
+                if key not in lod_cache:
+                    rc = RenderConfig(img_size=view.img_size,
+                                      sh_degree=pcfg.sh_degree,
+                                      isect_cap=isect_cap,
+                                      use_pallas=pcfg.use_pallas)
+                    lod_cache[key] = jax.jit(
+                        lambda s, b, rc=rc: train_step(s, b, lod_tcfg, rc),
+                        donate_argnums=0)
+                b = SceneBatch(gt_packed=jnp.asarray(view.gt_packed),
+                               cam=camera_inputs(view.camera, view.img_size))
+                state, stats, _ = lod_cache[key](state, b)
+            if lod_loader:
+                lod_loader.stop()
+
+            lod_path = path.replace(".ply", f"_lod{level}.ply")
+            Path(lod_path).write_bytes(
+                ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
+            yield TrainMessage("export", it, dict(
+                path=lod_path, lod_level=level,
+                splats=int(state.splats.n_alive)))
+    loader.stop()
 
 
 def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader):
