@@ -82,7 +82,27 @@ def read_cameras_bin(f: BinaryIO) -> dict[int, ColmapCamera]:
     return out
 
 
+def _native():
+    """The C++ parser (brush_tpu/native/colmapio.cpp) when built; else None."""
+    try:
+        from brush_tpu.native import _colmapio  # type: ignore
+        return _colmapio
+    except ImportError:
+        return None
+
+
 def read_images_bin(f: BinaryIO) -> dict[int, ColmapImage]:
+    nat = _native()
+    if nat is not None:
+        out = {}
+        for img_id, q, t, cam_id, name in nat.parse_images(f.read()):
+            out[img_id] = ColmapImage(img_id, np.array(q), np.array(t),
+                                      cam_id, name)
+        return out
+    return _read_images_bin_py(f)
+
+
+def _read_images_bin_py(f: BinaryIO) -> dict[int, ColmapImage]:
     (num,) = _read("<Q", f)
     out = {}
     for _ in range(num):
@@ -103,6 +123,16 @@ def read_images_bin(f: BinaryIO) -> dict[int, ColmapImage]:
 
 
 def read_points3d_bin(f: BinaryIO) -> ColmapPoints:
+    nat = _native()
+    if nat is not None:
+        n, xyz_b, rgb_b = nat.parse_points3d(f.read())
+        xyz = np.frombuffer(xyz_b, np.float64).reshape(n, 3)
+        rgb = np.frombuffer(rgb_b, np.uint8).reshape(n, 3)
+        return ColmapPoints(xyz=xyz.copy(), rgb=rgb.copy())
+    return _read_points3d_bin_py(f)
+
+
+def _read_points3d_bin_py(f: BinaryIO) -> ColmapPoints:
     (num,) = _read("<Q", f)
     xyz = np.empty((num, 3), np.float64)
     rgb = np.empty((num, 3), np.uint8)

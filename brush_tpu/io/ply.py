@@ -217,18 +217,16 @@ def _decode_supersplat(chunks: np.ndarray, verts: np.ndarray,
                            lerp("min_scale_z", "max_scale_z", sz)],
                           -1).astype(np.float32)
 
-    # Quat: largest component omitted; 2 bits say which, 3x10 bits the rest.
+    # Quat: largest component omitted; 2 bits say which, 3x10 bits the
+    # rest, each stored as (comp/sqrt2 + 0.5) in 10 bits.
     pr = verts["packed_rotation"].astype(np.uint32)
     which = (pr >> 30) & 0x3
-    norm = np.sqrt(2.0) * 0.5
-    a = (((pr >> 20) & 0x3FF).astype(np.float32) / 1023.0 - 0.5) / norm * 0.5 * 2
-    b = (((pr >> 10) & 0x3FF).astype(np.float32) / 1023.0 - 0.5) / norm * 0.5 * 2
-    c = ((pr & 0x3FF).astype(np.float32) / 1023.0 - 0.5) / norm * 0.5 * 2
-    # components scaled to [-1/sqrt2, 1/sqrt2]
-    a, b, c = (x * norm * 2 for x in (a, b, c))
+    sqrt2 = np.float32(np.sqrt(2.0))
+    a = (((pr >> 20) & 0x3FF).astype(np.float32) / 1023.0 - 0.5) * sqrt2
+    b = (((pr >> 10) & 0x3FF).astype(np.float32) / 1023.0 - 0.5) * sqrt2
+    c = ((pr & 0x3FF).astype(np.float32) / 1023.0 - 0.5) * sqrt2
     m = np.sqrt(np.clip(1.0 - (a * a + b * b + c * c), 0.0, 1.0))
     quats = np.empty((n, 4), np.float32)
-    comps = np.stack([m, a, b, c], -1)
     for w in range(4):
         sel = which == w
         order = [(w + 1 + i) % 4 for i in range(3)]
@@ -236,7 +234,6 @@ def _decode_supersplat(chunks: np.ndarray, verts: np.ndarray,
         quats[sel, order[0]] = a[sel]
         quats[sel, order[1]] = b[sel]
         quats[sel, order[2]] = c[sel]
-    del comps
 
     cr, cg, cb, ca = _unpack_8888(verts["packed_color"].astype(np.uint32))
     if "min_r" in (chunks.dtype.names or ()):
@@ -318,3 +315,119 @@ def splats_to_ply_bytes(splats, up_axis: str = "z") -> bytes:
                    np.asarray(splats.raw_opacities)[:n],
                    up_axis=up_axis)
     return buf.getvalue()
+
+
+def _pack_111011(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Three [0,1] floats -> u32 with 11/10/11 bits."""
+    xi = np.clip(np.rint(x * 2047.0), 0, 2047).astype(np.uint32)
+    yi = np.clip(np.rint(y * 1023.0), 0, 1023).astype(np.uint32)
+    zi = np.clip(np.rint(z * 2047.0), 0, 2047).astype(np.uint32)
+    return (xi << 21) | (yi << 11) | zi
+
+
+def save_compressed_ply(f: BinaryIO | str, means, log_scales, quats,
+                        sh_coeffs, raw_opacities) -> None:
+    """Write a SuperSplat-style `.compressed.ply`: 256-splat chunks with
+    per-chunk min/max quantization, 11-10-11 packed position/scale, packed
+    smallest-three quaternion and RGBA color, plus a u8 `sh` element for
+    higher bands. Round-trips through `load_splat_ply`'s compressed decoder
+    (the reference only *imports* this format, import.rs:407+; export is an
+    extension for SuperSplat-ecosystem interop)."""
+    if isinstance(f, str):
+        with open(f, "wb") as fh:
+            save_compressed_ply(fh, means, log_scales, quats, sh_coeffs,
+                                raw_opacities)
+            return
+
+    means = np.asarray(means, np.float32)
+    log_scales = np.asarray(log_scales, np.float32)
+    quats = np.asarray(quats, np.float32)
+    sh = np.asarray(sh_coeffs, np.float32)
+    opac = np.asarray(raw_opacities, np.float32)
+    n = means.shape[0]
+    n_chunks = -(-n // 256)
+    pad = n_chunks * 256 - n
+
+    def padded(x):
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0) \
+            if pad else x
+
+    means_p, ls_p, quats_p = padded(means), padded(log_scales), padded(quats)
+    sh_p, opac_p = padded(sh), padded(opac)
+
+    cm = means_p.reshape(n_chunks, 256, 3)
+    cs = ls_p.reshape(n_chunks, 256, 3)
+    mn_p, mx_p = cm.min(1), cm.max(1)
+    mn_s, mx_s = cs.min(1), cs.max(1)
+
+    def norm(x, lo, hi):
+        rng = np.maximum(hi - lo, 1e-12)
+        return (x - lo[:, None]) / rng[:, None]
+
+    tp = norm(cm, mn_p, mx_p)
+    ts = norm(cs, mn_s, mx_s)
+    packed_pos = _pack_111011(tp[..., 0].ravel(), tp[..., 1].ravel(),
+                              tp[..., 2].ravel())
+    packed_scale = _pack_111011(ts[..., 0].ravel(), ts[..., 1].ravel(),
+                                ts[..., 2].ravel())
+
+    # Smallest-three quaternion packing (which = index of largest |comp|).
+    q = quats_p / np.maximum(np.linalg.norm(quats_p, axis=1, keepdims=True),
+                             1e-12)
+    which = np.argmax(np.abs(q), axis=1)
+    sign = np.sign(q[np.arange(len(q)), which])
+    q = q * sign[:, None]  # largest component positive
+    norm_c = np.sqrt(2.0) * 0.5
+    rest = np.empty((len(q), 3), np.float32)
+    for w in range(4):
+        sel = which == w
+        order = [(w + 1 + i) % 4 for i in range(3)]
+        rest[sel] = q[sel][:, order]
+    # components in [-1/sqrt2, 1/sqrt2] -> [0,1] 10-bit
+    t = np.clip(rest / (2.0 * norm_c) + 0.5, 0.0, 1.0)
+    ti = np.clip(np.rint(t * 1023.0), 0, 1023).astype(np.uint32)
+    packed_rot = (which.astype(np.uint32) << 30) | (ti[:, 0] << 20) | \
+        (ti[:, 1] << 10) | ti[:, 2]
+
+    rgb = np.clip(sh_p[:, 0, :] * SH_C0 + 0.5, 0.0, 1.0)
+    a = 1.0 / (1.0 + np.exp(-opac_p))
+    col = np.stack([rgb[:, 0], rgb[:, 1], rgb[:, 2], a], axis=1)
+    ci = np.clip(np.rint(col * 255.0), 0, 255).astype(np.uint32)
+    packed_col = (ci[:, 0] << 24) | (ci[:, 1] << 16) | (ci[:, 2] << 8) | ci[:, 3]
+
+    n_rest = sh.shape[1] - 1
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element chunk {n_chunks}"]
+    for ax in "xyz":
+        header.append(f"property float min_{ax}")
+        header.append(f"property float max_{ax}")
+    for ax in "xyz":
+        header.append(f"property float min_scale_{ax}")
+        header.append(f"property float max_scale_{ax}")
+    header += [f"element vertex {n_chunks * 256}",
+               "property uint packed_position",
+               "property uint packed_rotation",
+               "property uint packed_scale",
+               "property uint packed_color"]
+    if n_rest:
+        header.append(f"element sh {n_chunks * 256}")
+        header += [f"property uchar coeff_{i}" for i in range(n_rest * 3)]
+    header.append("end_header")
+    f.write(("\n".join(header) + "\n").encode("ascii"))
+
+    chunk_rows = np.concatenate(
+        [mn_p[:, 0:1], mx_p[:, 0:1], mn_p[:, 1:2], mx_p[:, 1:2],
+         mn_p[:, 2:3], mx_p[:, 2:3],
+         mn_s[:, 0:1], mx_s[:, 0:1], mn_s[:, 1:2], mx_s[:, 1:2],
+         mn_s[:, 2:3], mx_s[:, 2:3]], axis=1).astype("<f4")
+    f.write(chunk_rows.tobytes())
+
+    verts = np.stack([packed_pos, packed_rot, packed_scale, packed_col],
+                     axis=1).astype("<u4")
+    f.write(verts.tobytes())
+
+    if n_rest:
+        rest_cm = sh_p[:, 1:, :].transpose(0, 2, 1).reshape(len(sh_p), -1)
+        q8 = np.clip(np.rint((rest_cm + 4.0) / 8.0 * 255.0), 0, 255
+                     ).astype(np.uint8)
+        f.write(q8.tobytes())

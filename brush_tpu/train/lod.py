@@ -35,7 +35,6 @@ def pup_scores(
     (E[J^T v v^T J] = J^T J for unit-variance v)."""
     folded = splats.fold_min_scale()
     cap = splats.capacity
-    h_acc = jnp.zeros((cap, 6, 6), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
 
     def render_img(means, log_scales, cam):
@@ -43,17 +42,27 @@ def pup_scores(
                         folded.raw_opacities, cam, bg, rcfg)
         return img[..., :3]
 
-    for cam in cams:
+    @jax.jit
+    def view_hessian(cam, key):
         _, vjp_fn = jax.vjp(
             lambda m, ls: render_img(m, ls, cam),
             folded.means, folded.log_scales)
-        for k in range(n_probes):
-            rng, kp = jax.random.split(rng)
+
+        def body(k, acc):
             probe = jax.random.normal(
-                kp, rcfg.img_size[::-1] + (3,), jnp.float32)
+                jax.random.fold_in(key, k), rcfg.img_size[::-1] + (3,),
+                jnp.float32)
             gm, gs = vjp_fn(probe)
             j = jnp.concatenate([gm, gs], axis=1)          # [cap, 6]
-            h_acc = h_acc + j[:, :, None] * j[:, None, :] / n_probes
+            return acc + j[:, :, None] * j[:, None, :] / n_probes
+
+        return jax.lax.fori_loop(
+            0, n_probes, body, jnp.zeros((cap, 6, 6), jnp.float32))
+
+    h_acc = jnp.zeros((cap, 6, 6), jnp.float32)
+    for i, cam in enumerate(cams):
+        rng, kv = jax.random.split(rng)
+        h_acc = h_acc + view_hessian(cam, kv)
 
     eps = 1e-12
     h = h_acc + eps * jnp.eye(6)

@@ -69,3 +69,35 @@ def test_ascii_ply():
               b"1.0 2.0 3.0\n4.0 5.0 6.0\n")
     d = load_splat_ply(io.BytesIO(header))
     np.testing.assert_allclose(d.means, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_compressed_roundtrip():
+    from brush_tpu.io.ply import save_compressed_ply
+    p = make_params(n=300, k=4)  # spans two chunks
+    # normalize quats so the smallest-three packing is comparable
+    q = p["quats"]
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    buf = io.BytesIO()
+    save_compressed_ply(buf, **p)
+    buf.seek(0)
+    d = load_splat_ply(buf)
+    assert d.num_splats == 512  # padded to chunk multiple
+    m = 300
+    np.testing.assert_allclose(d.means[:m], p["means"][:m], atol=1e-2)  # 11-bit over ~12-unit chunks
+    np.testing.assert_allclose(d.log_scales[:m], p["log_scales"][:m], atol=5e-3)
+    # quats equal up to sign
+    qa = d.rotations[:m] / np.linalg.norm(d.rotations[:m], axis=1, keepdims=True)
+    dot = np.abs(np.sum(qa * q[:m], axis=1))
+    assert dot.min() > 0.999
+    # DC color from packed 8-bit rgb
+    from brush_tpu.constants import SH_C0
+    rgb_in = np.clip(p["sh_coeffs"][:m, 0] * SH_C0 + 0.5, 0, 1)
+    rgb_out = np.clip(d.sh_coeffs[:m, 0] * SH_C0 + 0.5, 0, 1)
+    np.testing.assert_allclose(rgb_out, rgb_in, atol=1 / 255 + 1e-3)
+    # opacity roundtrip through 8-bit sigmoid space
+    a_in = 1 / (1 + np.exp(-p["raw_opacities"][:m]))
+    a_out = 1 / (1 + np.exp(-d.raw_opacities[:m]))
+    np.testing.assert_allclose(a_out, a_in, atol=1 / 255 + 2e-3)
+    # higher SH bands quantized to [-4,4]/256 steps
+    np.testing.assert_allclose(d.sh_coeffs[:m, 1:], p["sh_coeffs"][:m, 1:],
+                               atol=8 / 255 + 1e-3)

@@ -1,0 +1,58 @@
+"""End-to-end process loop on a synthetic COLMAP dataset: train + refine +
+eval + export + LOD phases, via the public train_process stream."""
+
+import numpy as np
+import pytest
+
+from tests.test_dataset_formats import write_colmap_bin
+
+from brush_tpu.data.formats import LoadConfig
+from brush_tpu.process import ProcessConfig, train_process
+from brush_tpu.train.config import TrainConfig
+
+
+def test_train_process_stream(tmp_path):
+    write_colmap_bin(tmp_path / "scene", n_views=3, w=32, h=32)
+    out = tmp_path / "out_{iter}.ply"
+
+    tcfg = TrainConfig(total_train_iters=12, refine_every=6,
+                       growth_grad_threshold=1e-6,
+                       lod_levels=1, lod_refine_steps=2,
+                       lod_decimation_keep=50, lod_image_scale=50)
+    lcfg = LoadConfig(max_resolution=32, eval_split_every=3)
+    pcfg = ProcessConfig(eval_every=12, export_every=0, log_every=6,
+                         export_path=str(out), init_count=0,
+                         sh_degree=1, use_pallas=False)
+
+    kinds = []
+    msgs = []
+    for msg in train_process(str(tmp_path / "scene"), tcfg, lcfg, pcfg,
+                             telemetry_dir=str(tmp_path / "telemetry")):
+        kinds.append(msg.kind)
+        msgs.append(msg)
+
+    assert "step" in kinds
+    assert "refine" in kinds
+    assert "eval" in kinds
+    exports = [m for m in msgs if m.kind == "export"]
+    assert any(m.data.get("final") for m in exports)
+    assert any(m.data.get("lod_level") == 1 for m in exports)
+
+    # Exported plys exist and reload.
+    from brush_tpu.io.ply import load_splat_ply
+    final = load_splat_ply(str(tmp_path / "out_12.ply"))
+    lod1 = load_splat_ply(str(tmp_path / "out_12_lod1.ply"))
+    assert final.num_splats > 0
+    assert 0 < lod1.num_splats <= final.num_splats
+    assert np.isfinite(lod1.means).all()
+
+    # LOD kept ~50% of splats.
+    assert lod1.num_splats <= int(final.num_splats * 0.75)
+
+    # Telemetry written.
+    stats = (tmp_path / "telemetry" / "stats.jsonl").read_text().splitlines()
+    assert len(stats) >= 2
+
+    # Losses finite.
+    steps = [m for m in msgs if m.kind == "step"]
+    assert all(np.isfinite(m.data["loss"]) for m in steps)
