@@ -48,12 +48,15 @@ class SceneLoader:
         self._cache_budget = cache_bytes
         self._lock = threading.Lock()
 
-        self._feeder = threading.Thread(target=self._feed, daemon=True)
-        self._feeder.start()
+        # Workers must exist before the feeder runs: _feed reads
+        # len(self._workers), and a feeder that dies on the race leaves
+        # every consumer blocked on an empty queue forever.
         self._workers = [
             threading.Thread(target=self._work, daemon=True)
             for _ in range(max(1, n_threads))
         ]
+        self._feeder = threading.Thread(target=self._feed, daemon=True)
+        self._feeder.start()
         for w in self._workers:
             w.start()
 
@@ -108,7 +111,14 @@ class SceneLoader:
         return self
 
     def __next__(self) -> LoadedView:
-        item = self._queue.get()
+        while True:
+            try:
+                item = self._queue.get(timeout=5.0)
+                break
+            except queue.Empty:
+                if self._stop.is_set() or not self._feeder.is_alive():
+                    raise RuntimeError(
+                        "SceneLoader pipeline died (feeder stopped)") from None
         if isinstance(item, Exception):
             raise item
         return item
