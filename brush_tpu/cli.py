@@ -125,14 +125,46 @@ def configs_from_args(a) -> tuple[TrainConfig, LoadConfig, ProcessConfig]:
     return tcfg, lcfg, pcfg
 
 
+def _is_view_only_source(source: str) -> bool:
+    """Ply / zip-or-dir of plys with no dataset views = view, not train
+    (brush-process/src/lib.rs:144 detects this the same way)."""
+    if source.lower().endswith(".ply"):
+        return True
+    try:
+        from brush_tpu.data.vfs import Vfs
+        vfs = Vfs(source)
+        names = vfs.names()
+        return (any(n.lower().endswith(".ply") for n in names)
+                and not any(
+                    n.lower().endswith((".json", ".bin", ".txt", ".csv"))
+                    for n in names))
+    except Exception:
+        return False
+
+
 def main(argv=None):
     argv = merge_args_file(argv if argv is not None else sys.argv[1:])
     a = build_parser().parse_args(argv)
 
     if a.view:
         from brush_tpu.viewer.service import serve
-        serve(a.source, port=a.port, sh_degree=a.sh_degree,
-              use_pallas=not a.no_pallas)
+        if _is_view_only_source(a.source):
+            serve(a.source, port=a.port, sh_degree=a.sh_degree,
+                  use_pallas=not a.no_pallas)
+            return 0
+        # Train with a live viewer: snapshots + /events stream while the
+        # training loop runs in this thread (the reference's GUI mode).
+        from brush_tpu.viewer.slot import MessageBus, Slot
+        slot, bus = Slot(), MessageBus()
+        serve(slot=slot, port=a.port, sh_degree=a.sh_degree,
+              use_pallas=not a.no_pallas, blocking=False, bus=bus)
+        print(f"viewer on http://0.0.0.0:{a.port} (training live)")
+        tcfg, lcfg, pcfg = configs_from_args(a)
+        for msg in train_process(
+                a.source, tcfg, lcfg, pcfg, slot=slot,
+                on_message=lambda m: bus.publish(
+                    {"kind": m.kind, "iter": m.iter, **m.data})):
+            pass
         return 0
 
     if a.source.lower().endswith(".ply"):

@@ -61,6 +61,10 @@ class Vfs:
         with self.open(path) as f:
             return f.read()
 
+    def names(self) -> list[str]:
+        """All file paths in the source."""
+        return list(self._names)
+
     def files_with_extension(self, ext: str) -> Iterator[str]:
         ext = ext.lower().lstrip(".")
         for n in self._names:

@@ -20,7 +20,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from brush_tpu.camera import Camera
-from brush_tpu.viewer.slot import Slot
+from brush_tpu.viewer.slot import MessageBus, Slot
 
 _CLIENT_HTML = """<!DOCTYPE html>
 <html><head><title>brush_tpu viewer</title><style>
@@ -59,15 +59,92 @@ async function loop(){
 loop();
 </script></body></html>"""
 
+# JS client library (counterpart of the reference's wasm-bindgen JS API,
+# apps/brush-js/src/lib.rs: init, message stream, raw splat-buffer access
+# for host render pipelines). Served at /brush.js; works from any origin.
+_BRUSH_JS = """// brush_tpu JS API
+// const b = new BrushClient('http://host:8080');
+// await b.info();                        -> {n_splats, n_frames, version}
+// await b.render({yaw, pitch, dist, w, h, frame}) -> Blob (JPEG)
+// await b.splats(frame)                  -> {count, shCoeffs, means,
+//                                            logScales, quats, sh, opacity}
+//                                           (Float32Array views, zero-copy
+//                                            over one fetched ArrayBuffer)
+// b.messages(cb)                         -> EventSource of training
+//                                           messages ({kind, iter, ...});
+//                                           returns a close() handle.
+class BrushClient {
+  constructor(base = '') { this.base = base; }
+  async info() { return (await fetch(this.base + '/info')).json(); }
+  async render(o = {}) {
+    const dist = o.dist ?? 5, yaw = o.yaw ?? 0, pitch = o.pitch ?? 0.3;
+    const px = o.px ?? dist * Math.cos(pitch) * Math.sin(yaw);
+    const py = o.py ?? dist * Math.sin(pitch);
+    const pz = o.pz ?? -dist * Math.cos(pitch) * Math.cos(yaw);
+    const q = new URLSearchParams({
+      px, py, pz, yaw, pitch, w: o.w ?? 640, h: o.h ?? 480,
+      frame: o.frame ?? 0});
+    return (await fetch(this.base + '/render?' + q)).blob();
+  }
+  async splats(frame = 0) {
+    const buf = await (await fetch(
+      this.base + '/splats?frame=' + frame)).arrayBuffer();
+    const u32 = new Uint32Array(buf, 0, 4);
+    if (u32[0] !== 0x4c505342) throw new Error('bad magic');   // 'BSPL'
+    const [, version, count, shCoeffs] = u32;
+    let off = 16;
+    const take = (n) => {
+      const a = new Float32Array(buf, off, n); off += 4 * n; return a; };
+    return {
+      version, count, shCoeffs,
+      means: take(count * 3), logScales: take(count * 3),
+      quats: take(count * 4),                 // wxyz
+      sh: take(count * shCoeffs * 3),         // [n, coeffs, rgb]
+      opacity: take(count),                   // raw logits; a=sigmoid(o)
+    };
+  }
+  messages(cb) {
+    const es = new EventSource(this.base + '/events');
+    es.onmessage = (e) => cb(JSON.parse(e.data));
+    return { close: () => es.close() };
+  }
+}
+if (typeof module !== 'undefined') module.exports = { BrushClient };
+"""
+
 
 class ViewerState:
     def __init__(self, slot: Slot, sh_degree: int, isect_cap: int = 1 << 20,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, bus: MessageBus | None = None):
         self.slot = slot
         self.sh_degree = sh_degree
         self.isect_cap = isect_cap
         self.use_pallas = use_pallas
+        self.bus = bus
         self.lock = threading.Lock()  # single TPU: serialize renders
+
+    def splat_buffer(self, frame: int) -> bytes:
+        """Packed splat snapshot for the JS API (see _BRUSH_JS.splats):
+        16-byte header (magic 'BSPL', version, count, sh_coeffs) + f32
+        means/log_scales/quats/sh/opacity arrays, alive splats only."""
+        import struct
+
+        splats = self.slot.get(frame)
+        if splats is None:
+            return struct.pack("<4sIII", b"BSPL", 1, 0, 0)
+        alive = np.asarray(splats.alive_mask()).astype(bool)
+        means = np.asarray(splats.means, np.float32)[alive]
+        n = means.shape[0]
+        sh = np.asarray(splats.sh_coeffs, np.float32)[alive]
+        parts = [
+            struct.pack("<4sIII", b"BSPL", 1, n, sh.shape[1]),
+            means.tobytes(),
+            np.asarray(splats.log_scales, np.float32)[alive].tobytes(),
+            np.asarray(splats.quats, np.float32)[alive].tobytes(),
+            sh.tobytes(),
+            np.asarray(splats.raw_opacities, np.float32)[alive].tobytes(),
+        ]
+        return b"".join(parts)
 
     def render_pose(self, pos, yaw, pitch, w, h, frame):
         import jax.numpy as jnp
@@ -112,6 +189,7 @@ def make_handler(state: ViewerState):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
             self.end_headers()
             self.wfile.write(body)
 
@@ -119,6 +197,37 @@ def make_handler(state: ViewerState):
             u = urlparse(self.path)
             if u.path == "/":
                 self._send(200, "text/html", _CLIENT_HTML.encode())
+            elif u.path == "/brush.js":
+                self._send(200, "application/javascript",
+                           _BRUSH_JS.encode())
+            elif u.path == "/splats":
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                self._send(200, "application/octet-stream",
+                           state.splat_buffer(int(q.get("frame", 0))))
+            elif u.path == "/events":
+                if state.bus is None:
+                    self._send(404, "text/plain", b"no training attached")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                sub = state.bus.subscribe()
+                try:
+                    while True:
+                        try:
+                            msg = sub.get(timeout=15.0)
+                            payload = json.dumps(msg, default=float)
+                            self.wfile.write(
+                                f"data: {payload}\n\n".encode())
+                        except Exception:
+                            self.wfile.write(b": keepalive\n\n")
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                finally:
+                    state.bus.unsubscribe(sub)
             elif u.path == "/info":
                 s = state.slot.get(0)
                 info = dict(
@@ -165,12 +274,14 @@ def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3):
 
 def serve(source: str | None = None, slot: Slot | None = None,
           host: str = "0.0.0.0", port: int = 8080, sh_degree: int = 3,
-          use_pallas: bool = True, blocking: bool = True):
-    """Start the viewer. Either a ply `source` or a live `slot`."""
+          use_pallas: bool = True, blocking: bool = True,
+          bus: MessageBus | None = None):
+    """Start the viewer. Either a ply `source` or a live `slot` (+ optional
+    MessageBus for the /events training stream)."""
     slot = slot or Slot()
     if source:
         load_source_into_slot(source, slot, sh_degree)
-    state = ViewerState(slot, sh_degree, use_pallas=use_pallas)
+    state = ViewerState(slot, sh_degree, use_pallas=use_pallas, bus=bus)
     server = ThreadingHTTPServer((host, port), make_handler(state))
     if blocking:
         print(f"viewer on http://{host}:{port}")

@@ -39,3 +39,43 @@ class Slot:
     def version(self) -> int:
         with self._lock:
             return self._version
+
+
+class MessageBus:
+    """Fan-out of training messages to any number of live subscribers.
+
+    Counterpart of the reference's ProcessMessage stream consumed by the
+    GUI/JS layers (brush-process/src/message.rs): the trainer publishes
+    dicts; each subscriber owns a bounded queue (latest messages win when
+    a slow consumer falls behind)."""
+
+    def __init__(self, maxsize: int = 256):
+        self._lock = threading.Lock()
+        self._subs: list = []
+        self._maxsize = maxsize
+
+    def publish(self, message: dict) -> None:
+        import queue
+        with self._lock:
+            subs = list(self._subs)
+        for q in subs:
+            try:
+                q.put_nowait(message)
+            except queue.Full:
+                try:  # drop the oldest, keep the stream moving
+                    q.get_nowait()
+                    q.put_nowait(message)
+                except queue.Empty:
+                    pass
+
+    def subscribe(self):
+        import queue
+        q = queue.Queue(maxsize=self._maxsize)
+        with self._lock:
+            self._subs.append(q)
+        return q
+
+    def unsubscribe(self, q) -> None:
+        with self._lock:
+            if q in self._subs:
+                self._subs.remove(q)

@@ -66,3 +66,61 @@ def test_http_render_endpoint(tmp_path):
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=60)
     finally:
         server.shutdown()
+
+
+def test_js_api_endpoints(tmp_path):
+    """brush.js client library + binary splat buffer + SSE message stream
+    (counterpart of the reference's JS API, apps/brush-js/src/lib.rs)."""
+    import struct
+
+    from brush_tpu.viewer.slot import MessageBus
+
+    write_ply(tmp_path / "scene.ply", n=16)
+    bus = MessageBus()
+    server = serve(str(tmp_path / "scene.ply"), port=0, sh_degree=0,
+                   use_pallas=False, blocking=False, bus=bus)
+    try:
+        port = server.server_address[1]
+        js = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/brush.js", timeout=60).read()
+        assert b"class BrushClient" in js
+
+        raw = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/splats?frame=0", timeout=60).read()
+        magic, version, count, sh_coeffs = struct.unpack_from("<4sIII", raw)
+        assert magic == b"BSPL" and version == 1
+        assert count == 16 and sh_coeffs == 1
+        body = np.frombuffer(raw, np.float32, offset=16)
+        # means(3) + log_scales(3) + quats(4) + sh(C*3) + opacity(1)
+        assert body.size == count * (3 + 3 + 4 + sh_coeffs * 3 + 1)
+        means = body[:count * 3].reshape(count, 3)
+        assert np.isfinite(means).all()
+
+        # SSE stream delivers published training messages. Publish from a
+        # background thread until received — the subscription only exists
+        # once the /events handler runs, so a single publish could race it.
+        import threading
+        import time
+
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/events", timeout=60)
+        got = threading.Event()
+
+        def pump():
+            while not got.is_set():
+                bus.publish({"kind": "step", "iter": 7, "loss": 0.5})
+                time.sleep(0.1)
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        try:
+            line = resp.readline()
+            while not line.startswith(b"data:"):
+                line = resp.readline()
+        finally:
+            got.set()
+        msg = json.loads(line[5:].strip())
+        assert msg["iter"] == 7 and msg["kind"] == "step"
+        resp.close()
+    finally:
+        server.shutdown()
