@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--no-pallas", action="store_true",
                     help="use the XLA-only rasterizer (debug)")
     pr.add_argument("--log-every", type=int, default=50)
+    pr.add_argument("--ckpt-every", type=int, default=0,
+                    help="full-state orbax checkpoint cadence (0 = off)")
+    pr.add_argument("--ckpt-dir", type=str, default="./ckpt")
+    pr.add_argument("--resume-from", type=str, default=None,
+                    help="resume training from a checkpoint dir")
 
     v = p.add_argument_group("Viewer options")
     v.add_argument("--view", action="store_true",
@@ -121,6 +126,8 @@ def configs_from_args(a) -> tuple[TrainConfig, LoadConfig, ProcessConfig]:
         export_path=a.export_path, start_iter=a.start_iter, seed=a.seed,
         init_count=a.init_count, sh_degree=a.sh_degree,
         use_pallas=not a.no_pallas, log_every=a.log_every,
+        ckpt_every=a.ckpt_every, ckpt_dir=a.ckpt_dir,
+        resume_from=a.resume_from,
     )
     return tcfg, lcfg, pcfg
 
@@ -191,6 +198,9 @@ def main(argv=None):
                   f"SSIM={msg.data['ssim']:.4f}", flush=True)
         elif msg.kind == "export":
             print(f"[{msg.iter:>6}] exported {msg.data['path']}", flush=True)
+        elif msg.kind == "checkpoint":
+            print(f"[{msg.iter:>6}] checkpoint -> {msg.data['path']}",
+                  flush=True)
     return 0
 
 

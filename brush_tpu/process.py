@@ -46,6 +46,9 @@ class ProcessConfig:
     use_pallas: bool = True
     sh_degree: int = 3
     log_every: int = 50
+    ckpt_every: int = 0                  # full-state orbax checkpoint cadence
+    ckpt_dir: str = "./ckpt"
+    resume_from: str | None = None       # checkpoint dir to resume from
 
 
 @dataclasses.dataclass
@@ -120,8 +123,31 @@ def train_process(
         tcfg = dataclasses.replace(tcfg, total_train_iters=pcfg.total_iters)
 
     ds = load_dataset(source, lcfg)
+    if telem:
+        telem.log_scene(ds)
     splats = init_splats_for_dataset(ds, tcfg, pcfg)
     state = init_train_state(splats, jax.random.PRNGKey(pcfg.seed))
+
+    if pcfg.resume_from:
+        # Full-state resume (params + Adam moments + refine record + RNG) —
+        # strictly more than the reference's ply + --start-iter (§5.4).
+        from brush_tpu.train.checkpoint import (
+            checkpoint_meta, load_checkpoint)
+        meta = checkpoint_meta(pcfg.resume_from)
+        if meta["sh_degree"] != pcfg.sh_degree:
+            raise ValueError(
+                f"checkpoint sh_degree {meta['sh_degree']} != "
+                f"configured {pcfg.sh_degree}")
+        if meta["capacity"] != state.splats.capacity:
+            if meta["capacity"] > state.splats.capacity:
+                state = _grow_state(state, meta["capacity"])
+            else:
+                raise ValueError(
+                    f"checkpoint capacity {meta['capacity']} smaller than "
+                    f"init capacity {state.splats.capacity}; lower "
+                    "init_count or re-export")
+        state = load_checkpoint(pcfg.resume_from, state)
+        pcfg = dataclasses.replace(pcfg, start_iter=meta["iteration"])
 
     loader = SceneLoader(ds.train, seed=pcfg.seed,
                          alpha_mode=lcfg.alpha_mode)
@@ -204,10 +230,21 @@ def train_process(
                 total=int(rstats.total_splats)))
             if on_message:
                 on_message(msg)
+            if telem:
+                telem.log_scalars(it, refine_added=msg.data["added"],
+                                  refine_pruned=msg.data["pruned"],
+                                  splats_total=msg.data["total"])
+                telem.log_splat_distribution(it, state.splats)
+                telem.log_memory(it)
             yield msg
 
         if pcfg.eval_every and it % pcfg.eval_every == 0 and ds.eval:
-            yield _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader)
+            emsg = _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader)
+            if on_message:
+                on_message(emsg)
+            if telem:
+                telem.log_scalars(it, **emsg.data)
+            yield emsg
 
         if pcfg.export_every and it % pcfg.export_every == 0:
             path = pcfg.export_path.format(iter=it)
@@ -215,6 +252,11 @@ def train_process(
             Path(path).write_bytes(
                 ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
             yield TrainMessage("export", it, dict(path=path))
+
+        if pcfg.ckpt_every and it % pcfg.ckpt_every == 0:
+            from brush_tpu.train.checkpoint import save_checkpoint
+            save_checkpoint(pcfg.ckpt_dir, state, iteration=it)
+            yield TrainMessage("checkpoint", it, dict(path=pcfg.ckpt_dir))
 
     # Final export.
     path = pcfg.export_path.format(iter=it)

@@ -17,16 +17,34 @@ import orbax.checkpoint as ocp
 from brush_tpu.train.trainer import TrainState
 
 
-def save_checkpoint(path: str | Path, state: TrainState) -> None:
+def save_checkpoint(path: str | Path, state: TrainState,
+                    iteration: int | None = None) -> None:
     path = Path(path).absolute()
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, state, force=True)
+    ckpt.save(path / "state", state, force=True)
     ckpt.wait_until_finished()
+    if iteration is not None:
+        import json
+        meta = dict(iteration=int(iteration),
+                    capacity=int(state.splats.capacity),
+                    sh_degree=int(state.splats.sh_degree))
+        (path / "meta.json").write_text(json.dumps(meta))
+
+
+def checkpoint_meta(path: str | Path) -> dict:
+    import json
+    return json.loads((Path(path).absolute() / "meta.json").read_text())
 
 
 def load_checkpoint(path: str | Path, template: TrainState) -> TrainState:
-    """Restore into the structure of `template` (same capacity/sh degree)."""
+    """Restore into the structure of `template` (same capacity/sh degree).
+
+    Use checkpoint_meta() to learn the capacity/sh_degree needed to build
+    a matching template before calling this."""
     path = Path(path).absolute()
+    sub = path / "state"
+    if not sub.exists():  # older flat layout
+        sub = path
     ckpt = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-    return ckpt.restore(path, abstract)
+    return ckpt.restore(sub, abstract)

@@ -47,5 +47,37 @@ class TelemetryLogger:
             means=np.asarray(splats.means[:n]),
         )
 
+    def log_scene(self, dataset) -> None:
+        """One-time scene snapshot: camera poses + init point cloud
+        (visualize_tools.rs scene/cameras logging)."""
+        cams = [dict(position=[float(x) for x in v.camera.position],
+                     rotation=[float(x) for x in v.camera.rotation],
+                     fov_x=float(v.camera.fov_x),
+                     fov_y=float(v.camera.fov_y),
+                     image=v.image_path)
+                for v in dataset.train.views]
+        (self.dir / "scene.json").write_text(json.dumps(
+            dict(n_train=len(dataset.train.views),
+                 n_eval=0 if dataset.eval is None else len(dataset.eval.views),
+                 cameras=cams)))
+        if dataset.init_points is not None and len(dataset.init_points):
+            np.savez(self.dir / "init_points.npz",
+                     points=np.asarray(dataset.init_points),
+                     colors=(np.asarray(dataset.init_colors)
+                             if dataset.init_colors is not None else
+                             np.zeros((0, 3))))
+
+    def log_memory(self, step: int) -> None:
+        """Device memory snapshot (the reference logs GPU memory usage to
+        rerun on a coarse cadence, train_stream.rs:434-441)."""
+        from brush_tpu.utils.tracing import memory_stats
+        flat = {}
+        for i, (_, s) in enumerate(sorted(memory_stats().items())):
+            for k, v in (s or {}).items():
+                if isinstance(v, (int, float)):
+                    flat[f"mem{i}_{k}"] = v
+        if flat:
+            self.log_scalars(step, **flat)
+
     def close(self):
         self._f.close()

@@ -49,9 +49,14 @@ def test_train_process_stream(tmp_path):
     # LOD kept ~50% of splats.
     assert lod1.num_splats <= int(final.num_splats * 0.75)
 
-    # Telemetry written.
+    # Telemetry written: scalar stream + one-time scene snapshot +
+    # refine-time splat distributions (brush-rerun parity).
     stats = (tmp_path / "telemetry" / "stats.jsonl").read_text().splitlines()
     assert len(stats) >= 2
+    import json as _json
+    scene = _json.loads((tmp_path / "telemetry" / "scene.json").read_text())
+    assert len(scene["cameras"]) == scene["n_train"] > 0
+    assert list((tmp_path / "telemetry").glob("splat_dist_*.npz"))
 
     # Losses finite.
     steps = [m for m in msgs if m.kind == "step"]
