@@ -49,6 +49,8 @@ class ProcessConfig:
     ckpt_every: int = 0                  # full-state orbax checkpoint cadence
     ckpt_dir: str = "./ckpt"
     resume_from: str | None = None       # checkpoint dir to resume from
+    lpips_weights: str | None = None     # VGG-LPIPS weights for the optional
+                                         # perceptual loss (lpips_loss_weight)
 
 
 @dataclasses.dataclass
@@ -158,6 +160,11 @@ def train_process(
     step_cache: dict = {}
     refine_jit = jax.jit(lambda s: refine_step(s, tcfg, centers, focals))
 
+    lpips_model = None
+    if tcfg.lpips_loss_weight > 0.0 and pcfg.lpips_weights:
+        from brush_tpu.models.lpips import load_lpips
+        lpips_model = load_lpips(pcfg.lpips_weights)
+
     def get_step(img_size, has_alpha, alpha_is_mask, isect_cap):
         key = (img_size, has_alpha, alpha_is_mask, isect_cap,
                state.splats.capacity)
@@ -168,7 +175,8 @@ def train_process(
             step_cache[key] = jax.jit(
                 lambda s, b: train_step(s, b, tcfg, rcfg,
                                         has_alpha=has_alpha,
-                                        alpha_is_mask=alpha_is_mask),
+                                        alpha_is_mask=alpha_is_mask,
+                                        lpips_model=lpips_model),
                 donate_argnums=0)
         return step_cache[key]
 

@@ -129,11 +129,12 @@ def train_step(
     rcfg: RenderConfig,
     has_alpha: bool = False,
     alpha_is_mask: bool = False,
+    lpips_model=None,
 ) -> tuple[TrainState, TrainStepStats, RenderAux]:
     """One fully-jitted single-view training step (reference semantics)."""
     return train_step_impl(state, batch, tcfg, rcfg,
                            has_alpha=has_alpha, alpha_is_mask=alpha_is_mask,
-                           batched=False)
+                           batched=False, lpips_model=lpips_model)
 
 
 def train_step_impl(
@@ -144,6 +145,7 @@ def train_step_impl(
     has_alpha: bool = False,
     alpha_is_mask: bool = False,
     batched: bool = False,
+    lpips_model=None,
 ) -> tuple[TrainState, TrainStepStats, RenderAux]:
     """One training step. `tcfg`/`rcfg` and the alpha-mode flags are
     trace-static (one compile per combination, like the reference's comptime
@@ -189,6 +191,12 @@ def train_step_impl(
             mask=alpha_is_mask, alpha_match=do_alpha_match)
         loss = image_loss_dyn(pred, gt_packed, bg if composite else None,
                               lcfg, tcfg.match_alpha_weight)
+        if lpips_model is not None and tcfg.lpips_loss_weight > 0.0:
+            # Optional perceptual term (train.rs:246-253; weight 0 default).
+            from brush_tpu.ops.loss import unpack_gt_rgb
+            gt_rgb = unpack_gt_rgb(gt_packed, bg if composite else None)
+            loss = loss + tcfg.lpips_loss_weight * lpips_model(
+                img[None, ..., :3], gt_rgb[None])
         return loss, aux
 
     def loss_fn(params, refine_holder, visible_holder):
