@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--ssim-weight", type=float, default=0.2)
     t.add_argument("--opac-decay", type=float, default=0.004)
     t.add_argument("--match-alpha-weight", type=float, default=0.1)
+    t.add_argument("--lpips-loss-weight", type=float, default=0.0)
     t.add_argument("--background-color", type=str, default="0,0,0")
     t.add_argument("--background-noise-strength", type=float, default=0.1)
     t.add_argument("--random-init-scene-scale", type=float, default=None)
@@ -75,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--ckpt-dir", type=str, default="./ckpt")
     pr.add_argument("--resume-from", type=str, default=None,
                     help="resume training from a checkpoint dir")
+    pr.add_argument("--eval-save-to-disk", type=str, default=None,
+                    metavar="DIR", help="save per-view eval renders as PNGs")
+    pr.add_argument("--lpips-weights", type=str, default=None,
+                    help="VGG-LPIPS weights (.npz/.safetensors) enabling "
+                         "the perceptual loss term")
 
     v = p.add_argument_group("Viewer options")
     v.add_argument("--view", action="store_true",
@@ -110,6 +116,7 @@ def configs_from_args(a) -> tuple[TrainConfig, LoadConfig, ProcessConfig]:
         split_at_screen_size=a.split_at_screen_size,
         ssim_weight=a.ssim_weight, opac_decay=a.opac_decay,
         match_alpha_weight=a.match_alpha_weight,
+        lpips_loss_weight=a.lpips_loss_weight,
         background_color=bg,
         background_noise_strength=a.background_noise_strength,
         random_init_scene_scale=a.random_init_scene_scale,
@@ -127,7 +134,8 @@ def configs_from_args(a) -> tuple[TrainConfig, LoadConfig, ProcessConfig]:
         init_count=a.init_count, sh_degree=a.sh_degree,
         use_pallas=not a.no_pallas, log_every=a.log_every,
         ckpt_every=a.ckpt_every, ckpt_dir=a.ckpt_dir,
-        resume_from=a.resume_from,
+        resume_from=a.resume_from, eval_save_to_disk=a.eval_save_to_disk,
+        lpips_weights=a.lpips_weights,
     )
     return tcfg, lcfg, pcfg
 

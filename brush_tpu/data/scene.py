@@ -50,15 +50,21 @@ def load_image(vfs: Vfs, path: str, max_resolution: int,
     (load_image.rs:193-226). Returns (rgb_or_rgba f32 [H,W,3|4], has_alpha)."""
     with vfs.open(path) as f:
         img = Image.open(f)
+        w0, h0 = img.size
+        scale = min(1.0, max_resolution / max(w0, h0)) / subscale
+        tw, th = max(1, round(w0 * scale)), max(1, round(h0 * scale))
+        if img.format == "JPEG" and scale < 1.0:
+            # IDCT scale-on-decode: decode near the target resolution
+            # instead of full-res (load_image.rs:193-226 does the same
+            # via zune-jpeg). PIL picks the nearest 1/1..1/8 DCT scale;
+            # the Lanczos pass below lands on the exact target.
+            img.draft(img.mode, (tw, th))
         img.load()
     has_alpha = img.mode in ("RGBA", "LA", "PA")
     img = img.convert("RGBA" if has_alpha else "RGB")
 
-    w, h = img.size
-    scale = min(1.0, max_resolution / max(w, h)) / subscale
-    if scale < 1.0:
-        img = img.resize((max(1, round(w * scale)), max(1, round(h * scale))),
-                         Image.LANCZOS)
+    if img.size != (tw, th):
+        img = img.resize((tw, th), Image.LANCZOS)
 
     arr = np.asarray(img, np.float32) / 255.0
 

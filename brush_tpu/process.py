@@ -51,6 +51,7 @@ class ProcessConfig:
     resume_from: str | None = None       # checkpoint dir to resume from
     lpips_weights: str | None = None     # VGG-LPIPS weights for the optional
                                          # perceptual loss (lpips_loss_weight)
+    eval_save_to_disk: str | None = None  # dir for per-view eval PNGs
 
 
 @dataclasses.dataclass
@@ -344,7 +345,8 @@ def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader):
         img_size = (packed.shape[1], packed.shape[0])
     rcfg = RenderConfig(img_size=img_size, sh_degree=pcfg.sh_degree,
                         isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
-    stats = eval_views(state.splats, pairs, rcfg)
+    stats = eval_views(state.splats, pairs, rcfg,
+                       save_dir=pcfg.eval_save_to_disk, step=it)
     return TrainMessage("eval", it, dict(psnr=stats.psnr, ssim=stats.ssim))
 
 

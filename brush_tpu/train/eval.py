@@ -25,12 +25,15 @@ class EvalStats:
     per_view_ssim: list
 
 
-def eval_views(splats: Splats, views, rcfg: RenderConfig) -> EvalStats:
-    """`views`: iterable of (camera, gt_packed [H,W] u32) pairs."""
+def eval_views(splats: Splats, views, rcfg: RenderConfig,
+               save_dir: str | None = None, step: int = 0) -> EvalStats:
+    """`views`: iterable of (camera, gt_packed [H,W] u32) pairs.
+    With `save_dir`, each rendered eval view is saved as a PNG
+    (eval.rs:56-63's per-view save-to-disk)."""
     psnrs, ssims = [], []
     folded = splats.fold_min_scale()
     black = jnp.zeros(3, jnp.float32)
-    for camera, gt_packed in views:
+    for i, (camera, gt_packed) in enumerate(views):
         cam = camera_inputs(camera, rcfg.img_size)
         img, _ = render(folded.means, folded.log_scales, folded.quats,
                         folded.sh_coeffs, folded.raw_opacities,
@@ -39,6 +42,15 @@ def eval_views(splats: Splats, views, rcfg: RenderConfig) -> EvalStats:
         rgb = jnp.round(jnp.clip(img[..., :3], 0.0, 1.0) * 255.0) / 255.0
         psnrs.append(float(loss_mod.psnr(rgb, gt_packed)))
         ssims.append(float(loss_mod.ssim(rgb, gt_packed)))
+        if save_dir is not None:
+            from pathlib import Path
+
+            from PIL import Image
+            d = Path(save_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(
+                (np.asarray(rgb) * 255.0).astype(np.uint8)).save(
+                    d / f"eval_{step:06d}_view{i:03d}.png")
     return EvalStats(
         psnr=float(np.mean(psnrs)) if psnrs else float("nan"),
         ssim=float(np.mean(ssims)) if ssims else float("nan"),
