@@ -151,3 +151,54 @@ def test_jit_compiles(rng):
     img = f(*splats)
     img2 = f(*splats)
     np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+
+def test_determinism(rng):
+    """Two identical renders are bit-identical (free on TPU/XLA; the
+    reference asserts this for large splats, tests/mod.rs)."""
+    splats = make_splats(96, rng)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    a, _ = render(*splats, cam, jnp.zeros(3), CFG)
+    b, _ = render(*splats, cam, jnp.zeros(3), CFG)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zero_quat_does_not_poison(rng):
+    """Zero quaternions are culled by the norm guard
+    (project_forward.rs:71), never NaN the image."""
+    means, ls, quats, sh, op = make_splats(32, rng)
+    quats = quats.at[::4].set(0.0)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    img, _ = render(means, ls, quats, sh, op, cam, jnp.zeros(3), CFG)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_mip_mode_changes_output_and_stays_finite(rng):
+    """SplatRenderMode::Mip: 0.1 blur + sqrt(det_raw/det_blur) opacity
+    compensation (helpers.rs:177-191) produces a different, finite image."""
+    import dataclasses
+    splats = make_splats(48, rng)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    default, _ = render(*splats, cam, jnp.zeros(3), CFG)
+    mip, _ = render(*splats, cam, jnp.zeros(3),
+                    dataclasses.replace(CFG, mip_splatting=True))
+    assert np.isfinite(np.asarray(mip)).all()
+    assert np.abs(np.asarray(mip) - np.asarray(default)).max() > 1e-5
+
+
+def test_fullscreen_splat_stress(rng):
+    """One huge splat covering the whole frustum (tests/mod.rs fullscreen
+    stress): every tile gets intersections, nothing overflows or NaNs."""
+    means = jnp.array([[0.0, 0.0, 0.0]], jnp.float32)
+    ls = jnp.full((1, 3), np.log(50.0), jnp.float32)
+    quats = jnp.array([[1.0, 0, 0, 0]], jnp.float32)
+    sh = jnp.asarray(rgb_to_sh_dc(np.array([[0.9, 0.2, 0.1]])),
+                     jnp.float32)[:, None, :]
+    op = jnp.full((1,), 5.0, jnp.float32)
+    cam = camera_inputs(make_camera(), CFG.img_size)
+    img, aux = render(means, ls, quats, sh, op, cam, jnp.zeros(3), CFG)
+    assert np.isfinite(np.asarray(img)).all()
+    # Covers every pixel with near-saturated alpha.
+    assert float(jnp.min(img[..., 3])) > 0.9
+    # All 4x4 tiles hit (counts include per-tile alignment padding).
+    assert int(aux.num_isects) >= 16
