@@ -28,11 +28,17 @@ body{margin:0;background:#111;color:#ddd;font-family:monospace;overflow:hidden}
 #hud{position:fixed;top:8px;left:8px;z-index:2;background:#0008;padding:6px}
 canvas{display:block}
 </style></head><body>
-<div id="hud">brush_tpu — drag orbit, wheel zoom, space play/pause</div>
+<div id="hud">brush_tpu — drag orbit, wheel zoom, space play/pause<br>
+splat scale <input id="ss" type="range" min="-2" max="1" step="0.1" value="0">
+fov <input id="fv" type="range" min="0.3" max="2.4" step="0.1" value="1">
+bg <input id="bgc" type="color" value="#000000"></div>
 <canvas id="c"></canvas>
 <script>
 const c=document.getElementById('c'),x=c.getContext('2d');
 let yaw=0,pitch=0.3,dist=5,drag=null,frame=0,playing=false,nframes=1,busy=false;
+const ss=document.getElementById('ss'),fv=document.getElementById('fv'),
+      bgc=document.getElementById('bgc');
+const hex2rgb=h=>[1,3,5].map(i=>parseInt(h.slice(i,i+2),16)/255).join(',');
 function resize(){c.width=innerWidth;c.height=innerHeight}resize();
 onresize=resize;
 c.onmousedown=e=>drag=[e.clientX,e.clientY];
@@ -50,7 +56,7 @@ async function loop(){
     if(playing)frame=(frame+1)%nframes;
     const w=Math.min(640,c.width),h=Math.min(480,c.height);
     try{
-      const r=await fetch(`/render?px=${px}&py=${py}&pz=${pz}&yaw=${yaw}&pitch=${pitch}&w=${w}&h=${h}&frame=${frame}`);
+      const r=await fetch(`/render?px=${px}&py=${py}&pz=${pz}&yaw=${yaw}&pitch=${pitch}&w=${w}&h=${h}&frame=${frame}&scale=${Math.pow(10,ss.value)}&fov=${fv.value}&bg=${hex2rgb(bgc.value)}`);
       const b=await r.blob();const img=await createImageBitmap(b);
       x.drawImage(img,0,0,c.width,c.height);
     }catch(e){}
@@ -83,7 +89,8 @@ class BrushClient {
     const pz = o.pz ?? -dist * Math.cos(pitch) * Math.cos(yaw);
     const q = new URLSearchParams({
       px, py, pz, yaw, pitch, w: o.w ?? 640, h: o.h ?? 480,
-      frame: o.frame ?? 0});
+      frame: o.frame ?? 0, scale: o.scale ?? 1, fov: o.fov ?? 1,
+      bg: o.bg ?? '0,0,0'});
     return (await fetch(this.base + '/render?' + q)).blob();
   }
   async splats(frame = 0) {
@@ -146,7 +153,12 @@ class ViewerState:
         ]
         return b"".join(parts)
 
-    def render_pose(self, pos, yaw, pitch, w, h, frame):
+    def render_pose(self, pos, yaw, pitch, w, h, frame,
+                    splat_scale=1.0, fov=1.0, bg=(0.0, 0.0, 0.0)):
+        """`splat_scale` multiplies every splat's scale at render time
+        (the reference's viewer slider, gaussian_splats.rs:388-393);
+        `fov` is the horizontal field of view in radians; `bg` the
+        background color."""
         import jax.numpy as jnp
         from brush_tpu.render import RenderConfig, camera_inputs, render
 
@@ -166,16 +178,19 @@ class ViewerState:
         r = np.stack([right, up2, fwd], axis=1)  # c2w columns
         from brush_tpu.data.colmap import _rotmat_to_quat
         cam = Camera(position=np.asarray(pos), rotation=_rotmat_to_quat(r),
-                     fov_x=1.0, fov_y=1.0 * h / w)
+                     fov_x=fov, fov_y=fov * h / w)
         cfg = RenderConfig(img_size=(w, h), sh_degree=self.sh_degree,
                            isect_cap=self.isect_cap,
                            use_pallas=self.use_pallas)
         folded = splats.fold_min_scale()
+        log_scales = folded.log_scales
+        if splat_scale != 1.0:
+            log_scales = log_scales + math.log(max(splat_scale, 1e-6))
         with self.lock:
-            img, _ = render(folded.means, folded.log_scales, folded.quats,
+            img, _ = render(folded.means, log_scales, folded.quats,
                             folded.sh_coeffs, folded.raw_opacities,
                             camera_inputs(cam, (w, h)),
-                            jnp.zeros(3, jnp.float32), cfg)
+                            jnp.asarray(bg, jnp.float32), cfg)
             arr = np.asarray(img)
         return (np.clip(arr[..., :3], 0, 1) * 255).astype(np.uint8)
 
@@ -241,9 +256,14 @@ def make_handler(state: ViewerState):
                        float(q.get("pz", -5))]
                 w = min(int(q.get("w", 512)), 1920)
                 h = min(int(q.get("h", 384)), 1080)
+                bg = tuple(float(x) for x in
+                           q.get("bg", "0,0,0").split(","))[:3]
                 arr = state.render_pose(
                     pos, float(q.get("yaw", 0)), float(q.get("pitch", 0)),
-                    w, h, int(q.get("frame", 0)))
+                    w, h, int(q.get("frame", 0)),
+                    splat_scale=float(q.get("scale", 1.0)),
+                    fov=min(max(float(q.get("fov", 1.0)), 0.1), 3.0),
+                    bg=bg)
                 from PIL import Image
                 buf = io.BytesIO()
                 Image.fromarray(arr).save(buf, "JPEG", quality=88)

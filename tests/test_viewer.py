@@ -124,3 +124,30 @@ def test_js_api_endpoints(tmp_path):
         resp.close()
     finally:
         server.shutdown()
+
+
+def test_render_params_scale_fov_bg(tmp_path):
+    """Viewer render knobs: splat-scale slider, fov, background color
+    (reference viewer Appendix F capabilities)."""
+    write_ply(tmp_path / "scene.ply", n=8)
+    server = serve(str(tmp_path / "scene.ply"), port=0, sh_degree=0,
+                   use_pallas=False, blocking=False)
+    try:
+        port = server.server_address[1]
+
+        def grab(qs):
+            from PIL import Image
+            data = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/render?px=0&py=0&pz=-30"
+                f"&w=32&h=32&{qs}", timeout=300).read()
+            return np.asarray(Image.open(io.BytesIO(data)), np.float32)
+
+        base = grab("")
+        big = grab("scale=3.0")
+        red_bg = grab("bg=1,0,0")
+        wide = grab("fov=2.2")
+        assert np.abs(big - base).max() > 3      # bigger splats
+        assert red_bg[..., 0].mean() > base[..., 0].mean() + 10
+        assert np.abs(wide - base).max() > 3     # zoomed out
+    finally:
+        server.shutdown()
