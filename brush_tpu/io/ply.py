@@ -143,6 +143,66 @@ def load_splat_ply(f: BinaryIO | str) -> SplatData:
     return out
 
 
+def stream_splat_ply(f: BinaryIO | str, chunk_rows: int = 65536):
+    """Progressive import: yield SplatData prefixes as vertex rows arrive
+    (import.rs stream_splat_from_ply:183, which emits a SplatMessage every
+    1.5 s while parsing). Standard binary little/big-endian plys stream
+    row-chunked; ascii and SuperSplat-compressed fall back to one emission.
+
+    Each yield is a *complete decode of everything read so far* — cheap,
+    since decode is vectorized numpy over the accumulated buffer.
+    """
+    if isinstance(f, str):
+        with open(f, "rb") as fh:
+            yield from stream_splat_ply(fh, chunk_rows)
+            return
+
+    fmt, elements, comments = _parse_header(f)
+    up_axis, render_mode = _header_meta(comments)
+    names = [e[0] for e in elements]
+
+    streamable = (fmt in ("binary_little_endian", "binary_big_endian")
+                  and "chunk" not in names)
+    if not streamable:
+        # One-shot path (ascii / compressed): re-dispatch on the parsed
+        # header by decoding elements directly.
+        if "chunk" in names and "vertex" in names:
+            data = {name: _read_element(f, fmt, count, props)
+                    for name, count, props in elements}
+            out = _decode_supersplat(data["chunk"], data["vertex"],
+                                     data.get("sh"))
+        else:
+            vertex = next(_read_element(f, fmt, count, props)
+                          for name, count, props in elements
+                          if name == "vertex")
+            out = _decode_standard(vertex)
+        out.up_axis, out.render_mode = up_axis, render_mode
+        yield out
+        return
+
+    endian = "<" if fmt == "binary_little_endian" else ">"
+    for name, count, props in elements:
+        dt = np.dtype([(n, endian + t) for n, t in props])
+        if name != "vertex":
+            f.read(dt.itemsize * count)  # skip non-vertex elements
+            continue
+        read = 0
+        buf = []
+        while read < count:
+            take = min(chunk_rows, count - read)
+            raw = f.read(dt.itemsize * take)
+            got = len(raw) // dt.itemsize
+            if got == 0:
+                break
+            buf.append(np.frombuffer(raw, dtype=dt, count=got))
+            read += got
+            out = _decode_standard(np.concatenate(buf) if len(buf) > 1
+                                   else buf[0])
+            out.up_axis, out.render_mode = up_axis, render_mode
+            yield out
+        return
+
+
 def _decode_standard(v: np.ndarray) -> SplatData:
     fields = set(v.dtype.names)
     n = v.shape[0]

@@ -274,10 +274,16 @@ def make_handler(state: ViewerState):
     return Handler
 
 
-def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3):
-    """.ply or zip/dir of plys -> frames (alphanumeric order = animation)."""
+def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3,
+                          progressive: bool = True):
+    """.ply or zip/dir of plys -> frames (alphanumeric order = animation).
+
+    With `progressive`, large plys publish growing prefixes to the slot as
+    rows are parsed, so the viewer shows content immediately — the
+    reference streams a SplatMessage every 1.5 s while parsing
+    (import.rs:183)."""
     from brush_tpu.data.vfs import Vfs
-    from brush_tpu.io.ply import load_splat_ply
+    from brush_tpu.io.ply import load_splat_ply, stream_splat_ply
     from brush_tpu.train.splat_init import to_init_splats
 
     vfs = Vfs(source)
@@ -286,10 +292,16 @@ def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3):
     if not plys:
         raise ValueError(f"no .ply files in {source}")
     for i, p in enumerate(plys):
-        d = load_splat_ply(vfs.open(p))
-        splats = to_init_splats(d.means, d.log_scales, d.rotations,
-                                d.sh_coeffs, d.raw_opacities)
-        slot.set(i, splats.with_sh_degree(sh_degree))
+        if progressive:
+            for d in stream_splat_ply(vfs.open(p)):
+                splats = to_init_splats(d.means, d.log_scales, d.rotations,
+                                        d.sh_coeffs, d.raw_opacities)
+                slot.set(i, splats.with_sh_degree(sh_degree))
+        else:
+            d = load_splat_ply(vfs.open(p))
+            splats = to_init_splats(d.means, d.log_scales, d.rotations,
+                                    d.sh_coeffs, d.raw_opacities)
+            slot.set(i, splats.with_sh_degree(sh_degree))
 
 
 def serve(source: str | None = None, slot: Slot | None = None,

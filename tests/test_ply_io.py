@@ -101,3 +101,27 @@ def test_compressed_roundtrip():
     # higher SH bands quantized to [-4,4]/256 steps
     np.testing.assert_allclose(d.sh_coeffs[:m, 1:], p["sh_coeffs"][:m, 1:],
                                atol=8 / 255 + 1e-3)
+
+
+def test_stream_splat_ply_progressive(tmp_path):
+    """Streaming import yields growing prefixes whose final state equals
+    the one-shot load (import.rs stream_splat_from_ply)."""
+    from brush_tpu.io.ply import load_splat_ply, save_splat_ply, stream_splat_ply
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    save_splat_ply(
+        str(tmp_path / "s.ply"),
+        means=rng.normal(0, 1, (n, 3)),
+        log_scales=np.full((n, 3), -2.0),
+        quats=np.tile([1.0, 0, 0, 0], (n, 1)),
+        sh_coeffs=rng.normal(0, 0.2, (n, 1, 3)),
+        raw_opacities=np.zeros(n),
+    )
+    chunks = list(stream_splat_ply(str(tmp_path / "s.ply"), chunk_rows=300))
+    assert [c.num_splats for c in chunks] == [300, 600, 900, 1000]
+    ref = load_splat_ply(str(tmp_path / "s.ply"))
+    np.testing.assert_array_equal(chunks[-1].means, ref.means)
+    np.testing.assert_array_equal(chunks[-1].sh_coeffs, ref.sh_coeffs)
+    # Prefix property: chunk k is a prefix of the full data.
+    np.testing.assert_array_equal(chunks[0].means, ref.means[:300])
