@@ -15,6 +15,8 @@ import numpy as np
 
 
 def main():
+    import sys
+
     import jax
     jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
@@ -24,15 +26,19 @@ def main():
     from brush_tpu.render import RenderConfig, camera_inputs, render
     from brush_tpu.utils.synthetic import bench_splats
 
-    n_splats = 1_000_000
-    img = (1920, 1080)
+    smoke = "--smoke" in sys.argv  # tiny CPU-able sanity run of this script
+    if smoke:
+        jax.config.update('jax_platforms', 'cpu')
+    n_splats = 20_000 if smoke else 1_000_000
+    img = (256, 144) if smoke else (1920, 1080)
 
     cam = Camera(position=np.array([0.0, 0.0, -18.0]),
                  rotation=np.array([1.0, 0.0, 0.0, 0.0]),
                  fov_x=1.0, fov_y=0.62)
     splats = bench_splats(n_splats, sh_degree=3)
 
-    rcfg = RenderConfig(img_size=img, sh_degree=3, isect_cap=1 << 23,
+    rcfg = RenderConfig(img_size=img, sh_degree=3,
+                        isect_cap=1 << (16 if smoke else 23),
                         use_pallas=True)
     cam_in = camera_inputs(cam, img)
     bg = jnp.zeros(3, jnp.float32)
@@ -57,7 +63,7 @@ def main():
 
     fps = 1.0 / dt
     print(json.dumps({
-        "metric": f"forward_render_fps_{n_splats // 1000}k_1080p",
+        "metric": f"forward_render_fps_{n_splats // 1000}k_{img[1]}p",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),
