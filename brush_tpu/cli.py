@@ -89,6 +89,33 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def args_from_configs(tcfg: TrainConfig, lcfg: LoadConfig,
+                      pcfg: ProcessConfig) -> list[str]:
+    """Serialize configs back to CLI args, diffed against defaults
+    (args_file.rs:53's config->args round-trip; lets callers persist
+    settings as an args.txt)."""
+    defaults = build_parser().parse_args(["_"])
+    dt, dl, dp = configs_from_args(defaults)
+    out: list[str] = []
+    for cfg, dflt in ((tcfg, dt), (lcfg, dl), (pcfg, dp)):
+        for f in dataclasses.fields(cfg):
+            val, dval = getattr(cfg, f.name), getattr(dflt, f.name)
+            if val == dval or val is None:
+                continue
+            flag = "--" + f.name.replace("_", "-")
+            if isinstance(val, bool):
+                # Only use_pallas has an inverted store_true flag.
+                if f.name == "use_pallas" and not val:
+                    out.append("--no-pallas")
+                continue
+            if isinstance(val, AlphaMode):
+                val = val.value
+            elif isinstance(val, tuple):
+                val = ",".join(str(x) for x in val)
+            out += [flag, str(val)]
+    return out
+
+
 def merge_args_file(argv: list[str]) -> list[str]:
     """defaults < args.txt < CLI flags (args_file.rs layered resolution)."""
     if not argv or argv[0].startswith("-"):
