@@ -74,3 +74,75 @@ def test_pallas_backward_matches_jnp():
     assert np.abs(a - b).max() / (np.abs(b).max() + 1e-12) < 1e-5
     # Visibility mask: exact.
     np.testing.assert_array_equal(np.asarray(gp[2]), np.asarray(gj[2]))
+
+
+def _synth(rng, n, spread, opac, img=(64, 48)):
+    from brush_tpu.ops.sh import rgb_to_sh_dc
+    means = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    sh = np.asarray(rgb_to_sh_dc(rng.uniform(0, 1, (n, 1, 3)))).astype(np.float32)
+    params = (jnp.asarray(means),
+              jnp.full((n, 3), np.log(0.2), jnp.float32),
+              jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1)),
+              jnp.asarray(sh),
+              jnp.full((n,), opac, jnp.float32))
+    cam = Camera(position=np.array([0.0, 0.0, -5.0]),
+                 rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                 fov_x=0.9, fov_y=0.9 * img[1] / img[0])
+    ci = camera_inputs(cam, img)
+    cfg = RenderConfig(img_size=img, sh_degree=0, isect_cap=1 << 13,
+                       max_per_tile=1024)
+    return params, ci, cfg
+
+
+def _fwd_both(params, ci, cfg, bg):
+    n = params[0].shape[0]
+    rh, vh = jnp.zeros(n), jnp.zeros(n)
+    img_j, aux = render_with_refine(*params, ci, bg, cfg, rh, vh)
+    img_p, _ = render_with_refine(
+        *params, ci, bg, dataclasses.replace(cfg, use_pallas=True), rh, vh)
+    return np.asarray(img_j), np.asarray(img_p), aux
+
+
+def test_pallas_empty_and_corner_tiles():
+    """Splats clustered in one corner: most tiles empty, parity holds."""
+    rng = np.random.default_rng(1)
+    params, ci, cfg = _synth(rng, 40, 0.3, 1.0)
+    params = (params[0] + jnp.array([1.8, 1.4, 0.0]),) + params[1:]
+    img_j, img_p, _ = _fwd_both(params, ci, cfg, jnp.zeros(3))
+    np.testing.assert_allclose(img_p, img_j, atol=2e-6, rtol=1e-5)
+
+
+def test_pallas_opaque_wall_early_exit():
+    """Hundreds of stacked near-opaque splats: the whole-tile saturation
+    early-exit (and its in-flight DMA drain) must not corrupt output."""
+    rng = np.random.default_rng(2)
+    params, ci, cfg = _synth(rng, 512, 0.8, 8.0)  # sigmoid(8) ~ 0.9997
+    img_j, img_p, aux = _fwd_both(params, ci, cfg, jnp.ones(3))
+    # The covered center saturates (corners may be empty).
+    assert float(img_j[20:28, 28:36, 3].min()) > 0.99
+    assert int(aux.max_isects_per_tile) <= cfg.max_per_tile
+    np.testing.assert_allclose(img_p, img_j, atol=2e-6, rtol=1e-5)
+
+
+def test_pallas_backward_with_saturation():
+    rng = np.random.default_rng(3)
+    params, ci, cfg = _synth(rng, 256, 0.8, 6.0)
+    bg = jnp.array([0.2, 0.2, 0.2], jnp.float32)
+    n = params[0].shape[0]
+
+    def make_loss(cfg):
+        def loss(params):
+            rh, vh = jnp.zeros(n), jnp.zeros(n)
+            img, _ = render_with_refine(*params, ci, bg, cfg, rh, vh)
+            return jnp.mean(img ** 2)
+        return loss
+
+    gj = jax.grad(make_loss(cfg))(params)
+    gp = jax.grad(make_loss(dataclasses.replace(cfg, use_pallas=True)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gj)):
+        a, b = np.asarray(a), np.asarray(b)
+        # Absolute floor: saturated scenes drive some grads to ~0 where a
+        # relative test is meaningless noise-vs-noise.
+        tol = max(2e-5 * float(np.abs(b).max()), 1e-8)
+        assert np.abs(a - b).max() < tol
