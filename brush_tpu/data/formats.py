@@ -81,8 +81,23 @@ def _apply_frame_limits(views, cfg: LoadConfig):
 # ---------------------------------------------------------------------------
 
 
-def _colmap_find(vfs: Vfs, base: str):
-    for prefix in ("sparse/0/", "sparse/", "colmap/sparse/0/", ""):
+def _colmap_reconstruction_prefixes(vfs: Vfs):
+    """Candidate reconstruction dirs, numbered ones first (sparse/0,
+    sparse/1, ...). Multiple reconstructions are resolved by registered
+    image count in load_colmap (colmap.rs:34-88)."""
+    import re
+    numbered = sorted({
+        m.group(1)
+        for n in vfs.names()
+        for m in [re.match(r"(?i)((?:.*/)?sparse/\d+/)", n)]
+        if m
+    })
+    return numbered + ["sparse/", "colmap/sparse/0/", ""]
+
+
+def _colmap_find(vfs: Vfs, base: str, prefixes=None):
+    for prefix in (prefixes if prefixes is not None
+                   else _colmap_reconstruction_prefixes(vfs)):
         for ext, mode in ((".bin", "bin"), (".txt", "txt")):
             path = prefix + base + ext
             if vfs.exists(path):
@@ -91,8 +106,26 @@ def _colmap_find(vfs: Vfs, base: str):
 
 
 def load_colmap(vfs: Vfs, cfg: LoadConfig) -> Optional[Dataset]:
-    cam_path, mode = _colmap_find(vfs, "cameras")
-    img_path, _ = _colmap_find(vfs, "images")
+    # Multiple reconstructions: pick the one registering the most images
+    # (colmap.rs:34-88).
+    prefixes = _colmap_reconstruction_prefixes(vfs)
+    numbered = [p for p in prefixes if p not in ("sparse/", "colmap/sparse/0/", "")]
+    if len(numbered) > 1:
+        best, best_count = None, -1
+        for p in numbered:
+            ip, m = _colmap_find(vfs, "images", prefixes=[p])
+            if ip is None:
+                continue
+            with vfs.open(ip) as f:
+                imgs = (colmap_reader.read_images_bin(f) if m == "bin"
+                        else colmap_reader.read_images_txt(f))
+            if len(imgs) > best_count:
+                best, best_count = p, len(imgs)
+        if best is not None:
+            prefixes = [best]
+
+    cam_path, mode = _colmap_find(vfs, "cameras", prefixes=prefixes)
+    img_path, _ = _colmap_find(vfs, "images", prefixes=prefixes)
     if cam_path is None or img_path is None:
         return None
 
@@ -124,7 +157,7 @@ def load_colmap(vfs: Vfs, cfg: LoadConfig) -> Optional[Dataset]:
         return None
     views = _apply_frame_limits(views, cfg)
 
-    pts_path, pmode = _colmap_find(vfs, "points3D")
+    pts_path, pmode = _colmap_find(vfs, "points3D", prefixes=prefixes)
     init_points = init_colors = None
     if pts_path is not None:
         with vfs.open(pts_path) as f:

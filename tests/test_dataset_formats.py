@@ -142,3 +142,24 @@ def test_scene_loader_stream(tmp_path):
         seen.add(v.view_index)
     loader.stop()
     assert len(seen) >= 2
+
+
+def test_colmap_multi_reconstruction_selection(tmp_path):
+    """With sparse/0 and sparse/1 present, the reconstruction registering
+    more images wins (colmap.rs:34-88)."""
+    import shutil
+
+    from brush_tpu.data.formats import load_dataset
+
+    write_colmap_bin(tmp_path / "scene", n_views=2, w=32, h=32)
+    src = tmp_path / "scene" / "sparse" / "0"
+    # sparse/1 = a bigger reconstruction (4 views).
+    big = tmp_path / "big"
+    write_colmap_bin(big, n_views=4, w=32, h=32)
+    dst = tmp_path / "scene" / "sparse" / "1"
+    shutil.copytree(big / "sparse" / "0", dst)
+    for f in (big / "images").iterdir():
+        shutil.copy(f, tmp_path / "scene" / "images" / f.name)
+
+    ds = load_dataset(str(tmp_path / "scene"))
+    assert len(ds.train.views) == 4
