@@ -240,7 +240,7 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # proj soa (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # proj soa (manual DMA)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bg
         ],
         out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
@@ -513,14 +513,14 @@ def rasterize_backward_pallas(soa, tile_ranges, tiles, v_tiles, bg, img_size,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # proj soa
+            pl.BlockSpec(memory_space=pl.ANY),   # proj soa
             pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # fwd tiles
             pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # cotangent tiles
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bg
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, SOA_ROWS, CK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
