@@ -35,9 +35,25 @@ def eval_views(splats: Splats, views, rcfg: RenderConfig,
     black = jnp.zeros(3, jnp.float32)
     for i, (camera, gt_packed) in enumerate(views):
         cam = camera_inputs(camera, rcfg.img_size)
-        img, _ = render(folded.means, folded.log_scales, folded.quats,
-                        folded.sh_coeffs, folded.raw_opacities,
-                        cam, black, rcfg)
+        img, aux = render(folded.means, folded.log_scales, folded.quats,
+                          folded.sh_coeffs, folded.raw_opacities,
+                          cam, black, rcfg)
+        # Overflow would silently drop contributions and corrupt PSNR;
+        # retry once with doubled capacity (the training loop's grow-on-
+        # overflow policy, process.py).
+        def overflowed(aux):
+            if int(aux.num_isects) > rcfg.isect_cap:
+                return True
+            return (not rcfg.use_pallas
+                    and int(aux.max_isects_per_tile) > rcfg.max_per_tile)
+
+        while overflowed(aux):
+            rcfg = dataclasses.replace(
+                rcfg, isect_cap=rcfg.isect_cap * 2,
+                max_per_tile=rcfg.max_per_tile * 2)
+            img, aux = render(folded.means, folded.log_scales, folded.quats,
+                              folded.sh_coeffs, folded.raw_opacities,
+                              cam, black, rcfg)
         # 8-bit roundtrip simulation (eval.rs:36-43).
         rgb = jnp.round(jnp.clip(img[..., :3], 0.0, 1.0) * 255.0) / 255.0
         psnrs.append(float(loss_mod.psnr(rgb, gt_packed)))
