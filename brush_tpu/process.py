@@ -65,6 +65,24 @@ def _next_pow2(n: int) -> int:
     return 1 << max(10, int(math.ceil(math.log2(max(n, 1)))))
 
 
+def _export_splats(path: str, splats) -> None:
+    """Write a ply export; `.compressed.ply` suffix selects SuperSplat
+    chunk-quantized output (export.rs picks by the same convention)."""
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    folded = splats.fold_min_scale()
+    if path.endswith(".compressed.ply"):
+        n = int(folded.n_alive)
+        ply_io.save_compressed_ply(
+            path,
+            means=np.asarray(folded.means[:n]),
+            log_scales=np.asarray(folded.log_scales[:n]),
+            quats=np.asarray(folded.quats[:n]),
+            sh_coeffs=np.asarray(folded.sh_coeffs[:n]),
+            raw_opacities=np.asarray(folded.raw_opacities[:n]))
+    else:
+        Path(path).write_bytes(ply_io.splats_to_ply_bytes(folded))
+
+
 def init_splats_for_dataset(ds: Dataset, tcfg: TrainConfig,
                             pcfg: ProcessConfig) -> Splats:
     """ply init > point-cloud init > random init (train_stream.rs:102-143)."""
@@ -257,9 +275,7 @@ def train_process(
 
         if pcfg.export_every and it % pcfg.export_every == 0:
             path = pcfg.export_path.format(iter=it)
-            Path(path).parent.mkdir(parents=True, exist_ok=True)
-            Path(path).write_bytes(
-                ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
+            _export_splats(path, state.splats)
             yield TrainMessage("export", it, dict(path=path))
 
         if pcfg.ckpt_every and it % pcfg.ckpt_every == 0:
@@ -269,9 +285,7 @@ def train_process(
 
     # Final export.
     path = pcfg.export_path.format(iter=it)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    Path(path).write_bytes(
-        ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
+    _export_splats(path, state.splats)
     yield TrainMessage("export", it, dict(path=path, final=True))
 
     # --- LOD baking phases (train_stream.rs:220-291, lod.rs) ---
@@ -324,8 +338,7 @@ def train_process(
                 lod_loader.stop()
 
             lod_path = path.replace(".ply", f"_lod{level}.ply")
-            Path(lod_path).write_bytes(
-                ply_io.splats_to_ply_bytes(state.splats.fold_min_scale()))
+            _export_splats(lod_path, state.splats)
             yield TrainMessage("export", it, dict(
                 path=lod_path, lod_level=level,
                 splats=int(state.splats.n_alive)))

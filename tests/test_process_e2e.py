@@ -61,3 +61,24 @@ def test_train_process_stream(tmp_path):
     # Losses finite.
     steps = [m for m in msgs if m.kind == "step"]
     assert all(np.isfinite(m.data["loss"]) for m in steps)
+
+
+def test_compressed_export_path(tmp_path):
+    """export_path ending in .compressed.ply produces a SuperSplat-style
+    compressed export that reloads."""
+    write_colmap_bin(tmp_path / "scene", n_views=2, w=32, h=32)
+    out = tmp_path / "o_{iter}.compressed.ply"
+    tcfg = TrainConfig(total_train_iters=2, refine_every=1000)
+    lcfg = LoadConfig(max_resolution=32)
+    pcfg = ProcessConfig(eval_every=0, export_every=0, log_every=1,
+                         export_path=str(out), init_count=0, sh_degree=1,
+                         use_pallas=False)
+    list(train_process(str(tmp_path / "scene"), tcfg, lcfg, pcfg))
+
+    from brush_tpu.io.ply import load_splat_ply
+    d = load_splat_ply(str(tmp_path / "o_2.compressed.ply"))
+    assert d.num_splats > 0
+    assert np.isfinite(d.means).all()
+    # Compressed plys are chunk-quantized: much smaller than raw f32.
+    raw = (tmp_path / "o_2.compressed.ply").stat().st_size
+    assert raw < d.num_splats * 4 * 17
