@@ -122,12 +122,14 @@ if (typeof module !== 'undefined') module.exports = { BrushClient };
 
 class ViewerState:
     def __init__(self, slot: Slot, sh_degree: int, isect_cap: int = 1 << 20,
-                 use_pallas: bool = True, bus: MessageBus | None = None):
+                 use_pallas: bool = True, bus: MessageBus | None = None,
+                 mip_splatting: bool = False):
         self.slot = slot
         self.sh_degree = sh_degree
         self.isect_cap = isect_cap
         self.use_pallas = use_pallas
         self.bus = bus
+        self.mip_splatting = mip_splatting  # from ply header render mode
         self.lock = threading.Lock()  # single TPU: serialize renders
 
     def splat_buffer(self, frame: int) -> bytes:
@@ -181,7 +183,8 @@ class ViewerState:
                      fov_x=fov, fov_y=fov * h / w)
         cfg = RenderConfig(img_size=(w, h), sh_degree=self.sh_degree,
                            isect_cap=self.isect_cap,
-                           use_pallas=self.use_pallas)
+                           use_pallas=self.use_pallas,
+                           mip_splatting=self.mip_splatting)
         folded = splats.fold_min_scale()
         log_scales = folded.log_scales
         if splat_scale != 1.0:
@@ -291,6 +294,7 @@ def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3,
                   key=lambda p: PurePosixPath(p).name)
     if not plys:
         raise ValueError(f"no .ply files in {source}")
+    render_mode = None
     for i, p in enumerate(plys):
         if progressive:
             for d in stream_splat_ply(vfs.open(p)):
@@ -302,6 +306,8 @@ def load_source_into_slot(source: str, slot: Slot, sh_degree: int = 3,
             splats = to_init_splats(d.means, d.log_scales, d.rotations,
                                     d.sh_coeffs, d.raw_opacities)
             slot.set(i, splats.with_sh_degree(sh_degree))
+        render_mode = render_mode or d.render_mode
+    return render_mode
 
 
 def serve(source: str | None = None, slot: Slot | None = None,
@@ -311,9 +317,11 @@ def serve(source: str | None = None, slot: Slot | None = None,
     """Start the viewer. Either a ply `source` or a live `slot` (+ optional
     MessageBus for the /events training stream)."""
     slot = slot or Slot()
+    render_mode = None
     if source:
-        load_source_into_slot(source, slot, sh_degree)
-    state = ViewerState(slot, sh_degree, use_pallas=use_pallas, bus=bus)
+        render_mode = load_source_into_slot(source, slot, sh_degree)
+    state = ViewerState(slot, sh_degree, use_pallas=use_pallas, bus=bus,
+                        mip_splatting=(render_mode or "").lower() == "mip")
     server = ThreadingHTTPServer((host, port), make_handler(state))
     if blocking:
         print(f"viewer on http://{host}:{port}")
