@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--ckpt-dir", type=str, default="./ckpt")
     pr.add_argument("--resume-from", type=str, default=None,
                     help="resume training from a checkpoint dir")
+    pr.add_argument("--views-per-batch", type=int, default=1,
+                    help="train on B views per step (loss = mean over "
+                         "views); sharded over devices when available")
     pr.add_argument("--eval-save-to-disk", type=str, default=None,
                     metavar="DIR", help="save per-view eval renders as PNGs")
     pr.add_argument("--lpips-weights", type=str, default=None,
@@ -162,7 +165,7 @@ def configs_from_args(a) -> tuple[TrainConfig, LoadConfig, ProcessConfig]:
         use_pallas=not a.no_pallas, log_every=a.log_every,
         ckpt_every=a.ckpt_every, ckpt_dir=a.ckpt_dir,
         resume_from=a.resume_from, eval_save_to_disk=a.eval_save_to_disk,
-        lpips_weights=a.lpips_weights,
+        lpips_weights=a.lpips_weights, views_per_batch=a.views_per_batch,
     )
     return tcfg, lcfg, pcfg
 

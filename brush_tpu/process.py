@@ -52,6 +52,9 @@ class ProcessConfig:
     lpips_weights: str | None = None     # VGG-LPIPS weights for the optional
                                          # perceptual loss (lpips_loss_weight)
     eval_save_to_disk: str | None = None  # dir for per-view eval PNGs
+    views_per_batch: int = 1             # >1: batched multi-view steps (loss
+                                         # = mean over views; with a multi-
+                                         # chip mesh this is the dp axis)
 
 
 @dataclasses.dataclass
@@ -184,6 +187,8 @@ def train_process(
         from brush_tpu.models.lpips import load_lpips
         lpips_model = load_lpips(pcfg.lpips_weights)
 
+    batched = pcfg.views_per_batch > 1
+
     def get_step(img_size, has_alpha, alpha_is_mask, isect_cap):
         key = (img_size, has_alpha, alpha_is_mask, isect_cap,
                state.splats.capacity)
@@ -191,12 +196,24 @@ def train_process(
             rcfg = RenderConfig(
                 img_size=img_size, sh_degree=pcfg.sh_degree,
                 isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
-            step_cache[key] = jax.jit(
-                lambda s, b: train_step(s, b, tcfg, rcfg,
-                                        has_alpha=has_alpha,
-                                        alpha_is_mask=alpha_is_mask,
-                                        lpips_model=lpips_model),
-                donate_argnums=0)
+            n_dev = math.gcd(pcfg.views_per_batch, len(jax.devices()))
+            if batched and n_dev > 1:
+                # Multi-chip: shard the view batch over a mesh of the
+                # largest device count dividing B (gradients psum over
+                # ICI; parallel/data_parallel.py).
+                from brush_tpu.parallel.data_parallel import (
+                    make_dp_train_step, view_mesh)
+                step_cache[key] = make_dp_train_step(
+                    view_mesh(jax.devices()[:n_dev]), tcfg, rcfg,
+                    has_alpha=has_alpha, alpha_is_mask=alpha_is_mask)
+            else:
+                from brush_tpu.train.trainer import train_step_impl
+                step_cache[key] = jax.jit(
+                    lambda s, b: train_step_impl(
+                        s, b, tcfg, rcfg, has_alpha=has_alpha,
+                        alpha_is_mask=alpha_is_mask, batched=batched,
+                        lpips_model=lpips_model),
+                    donate_argnums=0)
         return step_cache[key]
 
     # Initial intersection capacity: grows on overflow (replaces the
@@ -208,9 +225,27 @@ def train_process(
     alpha_is_mask = lcfg.alpha_mode == AlphaMode.MASKED
     while it < tcfg.total_train_iters:
         view = next(loader)
-        batch = SceneBatch(
-            gt_packed=jnp.asarray(view.gt_packed),
-            cam=camera_inputs(view.camera, view.img_size))
+        if batched:
+            # Collect B same-sized views (datasets are near-uniform; odd
+            # sizes fall back to repeating until the batch fills).
+            views = [view]
+            tries = 0
+            while len(views) < pcfg.views_per_batch and tries < 4 * pcfg.views_per_batch:
+                v = next(loader)
+                tries += 1
+                if v.img_size == view.img_size and v.has_alpha == view.has_alpha:
+                    views.append(v)
+            while len(views) < pcfg.views_per_batch:
+                views.append(views[0])  # pad by repeating (rare)
+            from brush_tpu.parallel.data_parallel import stack_batches
+            batch = stack_batches([
+                SceneBatch(gt_packed=jnp.asarray(v.gt_packed),
+                           cam=camera_inputs(v.camera, v.img_size))
+                for v in views])
+        else:
+            batch = SceneBatch(
+                gt_packed=jnp.asarray(view.gt_packed),
+                cam=camera_inputs(view.camera, view.img_size))
         step = get_step(view.img_size, view.has_alpha, alpha_is_mask,
                         isect_cap)
         state, stats, aux = step(state, batch)

@@ -82,3 +82,18 @@ def test_compressed_export_path(tmp_path):
     # Compressed plys are chunk-quantized: much smaller than raw f32.
     raw = (tmp_path / "o_2.compressed.ply").stat().st_size
     assert raw < d.num_splats * 4 * 17
+
+
+def test_batched_views_process(tmp_path):
+    """views_per_batch > 1: batched multi-view steps through the public
+    loop (sharded over the 8 virtual devices via the dp mesh)."""
+    write_colmap_bin(tmp_path / "scene", n_views=4, w=32, h=32)
+    tcfg = TrainConfig(total_train_iters=4, refine_every=1000)
+    lcfg = LoadConfig(max_resolution=32)
+    pcfg = ProcessConfig(eval_every=0, export_every=0, log_every=2,
+                         export_path=str(tmp_path / "b_{iter}.ply"),
+                         init_count=0, sh_degree=1, use_pallas=False,
+                         views_per_batch=2)
+    msgs = list(train_process(str(tmp_path / "scene"), tcfg, lcfg, pcfg))
+    steps = [m for m in msgs if m.kind == "step"]
+    assert steps and all(np.isfinite(m.data["loss"]) for m in steps)
