@@ -1,9 +1,10 @@
-"""Virtual file system over a directory or a zip archive.
+"""Virtual file system over a directory, a zip archive, or a URL.
 
-Counterpart of brush-vfs (crates/brush-vfs/src/lib.rs): one uniform,
-case-insensitive read layer the dataset loaders share, so a zipped COLMAP
-export and an unpacked folder behave identically. (The reference's wasm /
-URL-streaming arms don't apply on a TPU host.)"""
+Counterpart of brush-vfs (crates/brush-vfs/src/lib.rs + data_source.rs
+DataSource::{Path,Url}): one uniform, case-insensitive read layer the
+dataset loaders share, so a zipped COLMAP export, an unpacked folder, and
+an `http(s)://...` download behave identically. (The reference's wasm
+file-picker arm doesn't apply on a TPU host.)"""
 
 from __future__ import annotations
 
@@ -13,10 +14,32 @@ from pathlib import Path, PurePosixPath
 from typing import Iterator
 
 
+def _fetch_url(url: str) -> tuple[str, bytes]:
+    """Download a source URL fully into memory (data_source.rs Url arm —
+    the reference also buffers: zips need random access)."""
+    import urllib.request
+    with urllib.request.urlopen(url) as r:
+        data = r.read()
+    name = PurePosixPath(url.split("?")[0]).name or "download"
+    return name, data
+
+
 class Vfs:
     def __init__(self, root: str | Path):
-        root = Path(root)
         self._zip: zipfile.ZipFile | None = None
+        self._mem: dict[str, bytes] | None = None
+        if isinstance(root, str) and root.startswith(("http://", "https://")):
+            name, data = _fetch_url(root)
+            if name.lower().endswith(".zip") or data[:4] == b"PK\x03\x04":
+                self._zip = zipfile.ZipFile(io.BytesIO(data))
+                self._names = [n for n in self._zip.namelist()
+                               if not n.endswith("/")]
+            else:
+                self._mem = {name: data}
+                self._names = [name]
+            self._lower = {n.lower(): n for n in self._names}
+            return
+        root = Path(root)
         if root.is_file() and root.suffix.lower() == ".zip":
             self._zip = zipfile.ZipFile(root)
             self._names = [n for n in self._zip.namelist() if not n.endswith("/")]
@@ -55,6 +78,8 @@ class Vfs:
             raise FileNotFoundError(path)
         if self._zip is not None:
             return io.BytesIO(self._zip.read(real))
+        if self._mem is not None:
+            return io.BytesIO(self._mem[real])
         return open(self._dir / real, "rb")
 
     def read_bytes(self, path: str) -> bytes:

@@ -151,3 +151,36 @@ def test_render_params_scale_fov_bg(tmp_path):
         assert np.abs(wide - base).max() > 3     # zoomed out
     finally:
         server.shutdown()
+
+
+def test_url_source_zip(tmp_path):
+    """URL data sources: a zip served over HTTP loads like a local zip
+    (brush-vfs data_source.rs Url arm)."""
+    import functools
+    import http.server
+    import threading
+
+    for i in range(2):
+        write_ply(tmp_path / f"f_{i}.ply", seed=i)
+    zp = tmp_path / "anim.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for i in range(2):
+            z.write(tmp_path / f"f_{i}.ply", f"f_{i}.ply")
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/anim.zip"
+        slot = Slot()
+        load_source_into_slot(url, slot, sh_degree=0)
+        assert slot.n_frames == 2
+
+        # Single-file URL too.
+        from brush_tpu.data.vfs import Vfs
+        v = Vfs(f"http://127.0.0.1:{httpd.server_address[1]}/f_0.ply")
+        assert v.names() == ["f_0.ply"]
+        assert v.read_bytes("f_0.ply")[:3] == b"ply"
+    finally:
+        httpd.shutdown()
