@@ -40,7 +40,6 @@ from brush_tpu.constants import (
 )
 from brush_tpu.ops import camera_proj
 from brush_tpu.ops.sh import sh_to_color
-from brush_tpu.utils.quat import quat_to_rotmat
 
 
 class CameraInputs(NamedTuple):
@@ -85,8 +84,15 @@ def _project_math(means, log_scales, quats, sh_coeffs, raw_opacities,
 
     rot = cam.viewmat[:, :3]
     trans = cam.viewmat[:, 3]
-    mean_c = jnp.einsum("ni,ji->nj", means, rot,
-                        precision=jax.lax.Precision.HIGHEST) + trans
+    # Unrolled [N,3] x [3,3]^T: tiny-contraction einsums lower to MXU
+    # matmuls with K=3 (42x lane waste + multi-pass f32); explicit fused
+    # multiply-adds stay on the VPU and run ~10x faster at 1M splats.
+    m0, m1, m2 = means[:, 0], means[:, 1], means[:, 2]
+    mean_c = jnp.stack([
+        m0 * rot[0, 0] + m1 * rot[0, 1] + m2 * rot[0, 2] + trans[0],
+        m0 * rot[1, 0] + m1 * rot[1, 1] + m2 * rot[1, 2] + trans[1],
+        m0 * rot[2, 0] + m1 * rot[2, 1] + m2 * rot[2, 2] + trans[2],
+    ], axis=-1)
 
     # --- Culling gates (project_forward.rs:44-111) ---
     z = mean_c[..., 2]
@@ -108,15 +114,38 @@ def _project_math(means, log_scales, quats, sh_coeffs, raw_opacities,
     qn = quats / jnp.sqrt(jnp.maximum(qnorm_sq[:, None], 1e-32))
 
     # --- cov2d (helpers.rs calc_cov2d:142-171) ---
-    ns = jnp.einsum("ij,njk->nik", rot, quat_to_rotmat(qn),
-                    precision=jax.lax.Precision.HIGHEST) * scale[:, None, :]
+    # Fully unrolled J @ (R_cam @ R_quat * scale): same einsum-on-MXU issue
+    # as mean_c above — per-splat 2x3 @ 3x3 chains are elementwise work.
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    q_rows = (
+        (1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)),
+        (2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)),
+        (2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)),
+    )
+    s0, s1, s2 = scale[:, 0], scale[:, 1], scale[:, 2]
+    # ns[i][k] = (rot @ R_q)[i,k] * scale[k]; rot entries are scalars.
+    ns = [
+        [
+            (rot[i, 0] * q_rows[0][k] + rot[i, 1] * q_rows[1][k]
+             + rot[i, 2] * q_rows[2][k]) * (s0, s1, s2)[k]
+            for k in range(3)
+        ]
+        for i in range(3)
+    ]
     jac = camera_proj.projection_jacobian(mean_c, cam.pinhole,
                                           cam.clamp_limits, model)
-    v = jnp.einsum("nij,njk->nik", jac, ns,
-                   precision=jax.lax.Precision.HIGHEST)  # [N,2,3]
-    c00 = jnp.sum(v[:, 0] * v[:, 0], axis=-1)
-    c01 = jnp.sum(v[:, 0] * v[:, 1], axis=-1)
-    c11 = jnp.sum(v[:, 1] * v[:, 1], axis=-1)
+    j = [[jac[:, a, b] for b in range(3)] for a in range(2)]
+    v = [
+        [j[a][0] * ns[0][k] + j[a][1] * ns[1][k] + j[a][2] * ns[2][k]
+         for k in range(3)]
+        for a in range(2)
+    ]
+    c00 = v[0][0] * v[0][0] + v[0][1] * v[0][1] + v[0][2] * v[0][2]
+    c01 = v[0][0] * v[1][0] + v[0][1] * v[1][1] + v[0][2] * v[1][2]
+    c11 = v[1][0] * v[1][0] + v[1][1] * v[1][1] + v[1][2] * v[1][2]
     max_abs = jnp.maximum(jnp.maximum(jnp.abs(c00), jnp.abs(c11)), jnp.abs(c01))
     scale_down = jnp.where(max_abs > COV2D_ENTRY_CLAMP,
                            COV2D_ENTRY_CLAMP / jnp.maximum(max_abs, 1e-30), 1.0)

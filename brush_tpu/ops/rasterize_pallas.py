@@ -206,18 +206,23 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
 
 def build_soa(mean2d, conic, color, opac, gid_from_isect, isect_valid):
     """Gather projected splats into intersection order as a [16, I] SoA.
-    Alignment-padding slots (isect_valid False) get alpha 0, making them
-    inert in both the forward blend and the backward replay."""
+
+    Alignment-padding slots (isect_valid False) index a trailing dummy
+    all-zeros splat row (alpha 0 makes them inert in both the forward blend
+    and the backward replay) — one padded-table gather instead of a gather
+    plus a masked second write (TPU gathers are per-index-cost; ~2x faster).
+    """
+    n = opac.shape[0]
     fields = jnp.stack([
         mean2d[:, 0], mean2d[:, 1],
         conic[:, 0], conic[:, 1], conic[:, 2],
-        jnp.zeros_like(opac),  # alpha filled below with validity mask
+        opac,
         color[:, 0], color[:, 1], color[:, 2],
-    ], axis=0)  # [9, N]
-    soa = fields[:, gid_from_isect]  # [9, I]
-    soa = soa.at[5].set(jnp.where(isect_valid, opac[gid_from_isect], 0.0))
-    pad = jnp.zeros((SOA_ROWS - soa.shape[0], soa.shape[1]), soa.dtype)
-    return jnp.concatenate([soa, pad], axis=0)
+    ] + [jnp.zeros_like(opac)] * (SOA_ROWS - 9), axis=0)  # [16, N]
+    fields = jnp.concatenate(
+        [fields, jnp.zeros((SOA_ROWS, 1), fields.dtype)], axis=1)
+    gid_safe = jnp.where(isect_valid, gid_from_isect, n)
+    return fields[:, gid_safe]  # [16, I]
 
 
 @functools.partial(jax.jit, static_argnames=("img_size", "interpret"))
@@ -553,8 +558,13 @@ def image_to_tiles(img, img_size):
 
 
 def _cumsum_flat_rows(x):
-    """Inclusive prefix sum along axis 1 via a flat shift+add ladder
-    (associative_scan's recursive form compiles pathologically at 8M)."""
+    """Inclusive prefix sum along axis 1. On TPU: the Pallas carry-scan
+    kernel (one HBM pass; the shift+add ladder costs ~900 ms at [11, 8M]).
+    On CPU (tests): the ladder (associative_scan's recursive form compiles
+    pathologically even at test sizes)."""
+    if jax.default_backend() != "cpu":
+        from brush_tpu.ops.scan_pallas import cumsum_rows
+        return cumsum_rows(x)
     n = x.shape[1]
     s = 1
     while s < n:
@@ -565,32 +575,38 @@ def _cumsum_flat_rows(x):
     return x
 
 
-def _segment_sum_sorted(g, gid, n):
-    """sum g[:, i] per gid value -> [n, C], no duplicate-index scatters.
+def _reduce_grads_expansion(g, e_from_isect, starts_c, counts_c, inv_perm):
+    """Per-splat gradient reduction via expansion-space segments -> [N, C]
+    in GLOBAL splat order.
 
-    Sort by gid (stable O(25ms) lax.sort), inclusive prefix-sum each
-    channel, then scatter the boundary cumsums with UNIQUE indices: for a
-    splat's segment [first, last], sum = cs[last] - cs[first - 1].
+    The reference accumulates with f32 atomics (rasterize_backwards.rs
+    HfAtomicAdd); TPU has none, and every sorted/scattered alternative at 8M
+    intersections is ~1 s (sort-by-gid needs boundary extraction: an
+    [N,11]-wide scatter measures ~860 ms, searchsorted ~1.3 s). Instead we
+    route gradients back to EXPANSION order — where each splat's slots are
+    the contiguous KNOWN segment [starts_c, starts_c + counts_c) from the
+    tiling cumsum — so the reduce is one Pallas prefix-sum plus a cumsum
+    difference at precomputed boundaries. Total ~130 ms:
+
+      f_of_e  : invert the final->expansion map (one int32 scatter)
+      g_exp   : gather grads into expansion order ([C, I] gather)
+      cs      : Pallas carry-scan cumsum (ops/scan_pallas.py)
+      segment : csp[:, start+count] - csp[:, start]  (two [C, N] gathers)
     """
     c, i_cap = g.shape
-    ops = jax.lax.sort((gid,) + tuple(g[k] for k in range(c)), num_keys=1)
-    gid_s = ops[0]
-    gs = jnp.stack(ops[1:], axis=0)                     # [C, I] sorted
-    cs = _cumsum_flat_rows(gs)                          # [C, I]
-
-    prev_g = jnp.concatenate([jnp.full((1,), -1, gid_s.dtype), gid_s[:-1]])
-    next_g = jnp.concatenate([gid_s[1:], jnp.full((1,), -1, gid_s.dtype)])
-    seg_first = gid_s != prev_g
-    seg_last = gid_s != next_g
-    cs_prev = jnp.concatenate(
-        [jnp.zeros((c, 1), cs.dtype), cs[:, :-1]], axis=1)
-
-    idx_last = jnp.where(seg_last, gid_s, n)            # unique (pad dropped)
-    ends = jnp.zeros((n, c), jnp.float32).at[idx_last].set(cs.T, mode="drop")
-    idx_first = jnp.where(seg_first, gid_s, n)
-    before = jnp.zeros((n, c), jnp.float32).at[idx_first].set(
-        cs_prev.T, mode="drop")
-    return ends - before
+    p_idx = jnp.arange(i_cap, dtype=jnp.int32)
+    # Final slot of each expansion slot; unwritten (dropped/padding)
+    # expansion slots point at the trailing zero column.
+    f_of_e = jnp.full((i_cap,), i_cap, jnp.int32).at[e_from_isect].set(
+        p_idx, mode="drop")
+    g_pad = jnp.concatenate([g, jnp.zeros((c, 1), g.dtype)], axis=1)
+    g_exp = g_pad[:, f_of_e]                            # [C, I] expansion
+    cs = _cumsum_flat_rows(g_exp)                       # [C, I]
+    csp = jnp.concatenate([jnp.zeros((c, 1), cs.dtype), cs], axis=1)
+    idx_lo = jnp.clip(starts_c, 0, i_cap)
+    idx_hi = jnp.clip(starts_c + counts_c, 0, i_cap)
+    per_compact = (csp[:, idx_hi] - csp[:, idx_lo]).T   # [N, C] compact order
+    return per_compact[inv_perm]                        # global splat order
 
 
 def _use_interpret():
@@ -598,10 +614,11 @@ def _use_interpret():
     return _jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
 def rasterize_pallas(mean2d, conic, color, opac, refine_holder,
                      visible_holder, gid_from_isect, isect_valid,
-                     tile_ranges, bg, img_size):
+                     tile_ranges, e_from_isect, starts_c, counts_c, inv_perm,
+                     bg, img_size):
     """Production rasterize: [H, W, 4] image via the Pallas kernels.
 
     Differentiable w.r.t. mean2d/conic/color/opac/bg; `refine_holder` and
@@ -609,6 +626,8 @@ def rasterize_pallas(mean2d, conic, color, opac, refine_holder,
     densify refine weight and the contributed-visibility mask (the
     reference's refine_weight_holder + `visible` buffer,
     brush-render-bwd/src/burn_glue.rs:252,269; rasterize.rs:141-143).
+    `e_from_isect`/`starts_c`/`counts_c`/`inv_perm` (Intersections fields)
+    drive the backward's expansion-order gradient reduction.
     """
     img, _, _ = _rasterize_pallas_fwd_impl(
         mean2d, conic, color, opac, gid_from_isect, isect_valid,
@@ -626,34 +645,30 @@ def _rasterize_pallas_fwd_impl(mean2d, conic, color, opac, gid_from_isect,
 
 def _rasterize_pallas_fwd(mean2d, conic, color, opac, refine_holder,
                           visible_holder, gid_from_isect, isect_valid,
-                          tile_ranges, bg, img_size):
+                          tile_ranges, e_from_isect, starts_c, counts_c,
+                          inv_perm, bg, img_size):
     img, soa, tiles = _rasterize_pallas_fwd_impl(
         mean2d, conic, color, opac, gid_from_isect, isect_valid,
         tile_ranges, bg, img_size)
-    res = (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges, bg,
-           mean2d.shape[0])
+    res = (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges,
+           e_from_isect, starts_c, counts_c, inv_perm, bg, mean2d.shape[0])
     return img, res
 
 
 def _rasterize_pallas_bwd(img_size, res, v_img):
-    (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges, bg, n) = res
+    (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges,
+     e_from_isect, starts_c, counts_c, inv_perm, bg, n) = res
 
     v_tiles = image_to_tiles(v_img, img_size)
     grads_soa = rasterize_backward_pallas(
         soa, tile_ranges, tiles, v_tiles, bg, img_size,
         interpret=_use_interpret())
 
-    # `where`, not multiply: sentinel-region slots are never written by the
-    # kernel and may hold NaN garbage (0 * NaN would poison splat 0).
-    g = jnp.where(isect_valid[None, :], grads_soa, 0.0)
-
-    # Per-splat reduction WITHOUT duplicate-index scatter-adds (those
-    # serialize on TPU: ~3.5s at 8M intersections). Sort grads by splat id,
-    # prefix-sum each channel, and difference the cumsum at segment
-    # boundaries — only unique-index scatters remain (~10x faster). This is
-    # the segment_sum substitute SURVEY.md §2.1 prescribes for the
-    # reference's f32 atomic adds (rasterize_backwards.rs HfAtomicAdd).
-    per_splat = _segment_sum_sorted(g[:11], gid_from_isect, n)  # [n, 11]
+    # No validity masking needed: the expansion-order reduce only gathers
+    # slots the kernel actually wrote (dropped expansion slots route to a
+    # zero column), so sentinel-region NaN garbage is never touched.
+    per_splat = _reduce_grads_expansion(
+        grads_soa[:11], e_from_isect, starts_c, counts_c, inv_perm)  # [n,11]
 
     v_mean2d = per_splat[:, 0:2]
     v_conic = per_splat[:, 2:5]
@@ -673,7 +688,9 @@ def _rasterize_pallas_bwd(img_size, res, v_img):
     zero_int = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
     return (v_mean2d, v_conic, v_color, v_opac, v_refine, v_visible,
             zero_int(gid_from_isect), zero_int(isect_valid),
-            zero_int(tile_ranges), v_bg)
+            zero_int(tile_ranges), zero_int(e_from_isect),
+            zero_int(starts_c), zero_int(counts_c), zero_int(inv_perm),
+            v_bg)
 
 
 rasterize_pallas.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)

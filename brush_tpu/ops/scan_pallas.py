@@ -1,0 +1,108 @@
+"""Pallas TPU prefix-scan (cumsum / cummax) over long arrays.
+
+The XLA alternatives are pathological at the 8M-element scale the tile
+binning pipeline needs: `jax.lax.associative_scan`'s recursive odd/even
+decomposition takes the TPU compiler minutes to build, and a flat
+Hillis-Steele shift+add ladder materializes log2(n) full-size HBM
+round-trips (~23 passes x 33 MB at 8M elements, measured ~23 ms for a max
+scan and ~1 s for an 11-row sum scan). A scan is one sequential pass at HBM
+bandwidth if the running carry lives on chip — exactly what a Pallas kernel
+with a VMEM carry across (sequential) grid steps gives us.
+
+This is the TPU-shaped replacement for the reference's multi-level GPU
+prefix-sum (crates/brush-prefix-sum/src/lib.rs:11-83): where the GPU scans
+per-workgroup then recursively scans block sums, the TPU scans blocks in
+grid order with the block sum carried in VMEM — no recursion, no extra
+kernel launches, one HBM read + one write total.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 8192
+
+
+def _ladder(x, ids, op, identity):
+    """Inclusive scan along the lane axis of a [R, BLK] block."""
+    lanes = x.shape[1]
+    y = x
+    shift = 1
+    while shift < lanes:
+        shifted = jnp.where(ids >= shift, pltpu.roll(y, shift, 1), identity)
+        y = op(y, shifted)
+        shift *= 2
+    return y
+
+
+def _scan_kernel(x_ref, o_ref, carry, *, op_name: str):
+    i = pl.program_id(0)
+    rows = x_ref.shape[0]
+    if op_name == "sum":
+        op, identity = jnp.add, (0 if jnp.issubdtype(x_ref.dtype, jnp.integer)
+                                 else 0.0)
+    else:
+        op = jnp.maximum
+        identity = (jnp.iinfo(x_ref.dtype).min
+                    if jnp.issubdtype(x_ref.dtype, jnp.integer)
+                    else -jnp.inf)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.full((rows, 1), identity, x_ref.dtype)
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, x_ref.shape, 1)
+    y = _ladder(x_ref[...], ids, op, identity)
+    y = op(y, carry[...])
+    o_ref[...] = y
+    carry[...] = y[:, -1:]
+
+
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def scan_rows_pallas(x: jnp.ndarray, op: str = "sum",
+                     interpret: bool = False) -> jnp.ndarray:
+    """Inclusive prefix scan along axis 1 of [R, L]. op: 'sum' | 'max'.
+
+    L must be a multiple of BLK (callers pad with the op identity); R is
+    expected small (<= ~16 rows ride the sublane axis).
+    """
+    r, l = x.shape
+    assert l % BLK == 0, f"scan length {l} must be a multiple of {BLK}"
+    grid = l // BLK
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, op_name=op),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((r, BLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((r, BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((r, l), x.dtype),
+        scratch_shapes=[pltpu.VMEM((r, 1), x.dtype)],
+        interpret=interpret,
+    )(x)
+
+
+def _pad_to_blk(x, identity):
+    l = x.shape[-1]
+    pad = (-l) % BLK
+    if pad == 0:
+        return x, l
+    pad_block = jnp.full(x.shape[:-1] + (pad,), identity, x.dtype)
+    return jnp.concatenate([x, pad_block], axis=-1), l
+
+
+def cumsum_rows(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Inclusive cumsum along axis 1 of [R, L], any L (pads internally)."""
+    padded, l = _pad_to_blk(x, 0)
+    return scan_rows_pallas(padded, op="sum", interpret=interpret)[:, :l]
+
+
+def cummax_1d(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Inclusive running max of a 1-D array, any length."""
+    identity = (jnp.iinfo(x.dtype).min
+                if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
+    padded, l = _pad_to_blk(x[None, :], identity)
+    return scan_rows_pallas(padded, op="max", interpret=interpret)[0, :l]

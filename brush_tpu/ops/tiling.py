@@ -48,6 +48,16 @@ class Intersections(NamedTuple):
     gid_from_isect: jnp.ndarray   # [I] global splat id per isect slot
     isect_valid: jnp.ndarray   # [I] bool — False for padding/overflow slots
     tile_ranges: jnp.ndarray   # [T,2] (start, start+count); starts ALIGN-aligned
+    # Expansion-space bookkeeping for the backward gradient reduction
+    # (rasterize_pallas._reduce_grads_expansion): expansion slot e of splat c
+    # (compact order) lives in [starts_c[c], starts_c[c] + counts_c[c]) — the
+    # KNOWN segment boundaries that let the per-splat reduce be a cumsum
+    # difference instead of a sort-by-gid (which needs 8M-scale boundary
+    # scatters/searchsorteds, measured ~1 s on TPU).
+    e_from_isect: jnp.ndarray  # [I] expansion slot per final slot; I if pad
+    starts_c: jnp.ndarray      # [N] expansion segment start per compact id
+    counts_c: jnp.ndarray      # [N] expansion segment length per compact id
+    inv_perm: jnp.ndarray      # [N] global gid -> compact index
 
 
 ALIGN = 256
@@ -101,10 +111,14 @@ def will_contribute(
 
 
 def _cummax_flat(x):
-    """Inclusive running max via a flat Hillis-Steele ladder: log2(n)
-    shift+max pairs. jax.lax.associative_scan's recursive odd/even
-    decomposition takes the TPU compiler >15 min at 8M elements; this
-    compiles in seconds and runs at the same O(n log n) elementwise cost."""
+    """Inclusive running max. On TPU: the Pallas carry-scan kernel (one HBM
+    pass, ~4 ms at 8M vs ~23 ms for a ladder). On CPU (tests): a flat
+    Hillis-Steele shift+max ladder — jax.lax.associative_scan's recursive
+    odd/even decomposition takes the TPU compiler >15 min at 8M elements,
+    and the ladder compiles in seconds at test sizes."""
+    if jax.default_backend() != "cpu":
+        from brush_tpu.ops.scan_pallas import cummax_1d
+        return cummax_1d(x)
     n = x.shape[0]
     lo = jnp.iinfo(x.dtype).min
     s = 1
@@ -181,9 +195,10 @@ def build_intersections(
     tile_id = jnp.where(in_range & contrib, ty * tile_bw + tx, num_tiles)
 
     # Stable sort keeps depth order within each tile (slots were generated in
-    # depth-compact order).
-    tile_sorted, gid_sorted = jax.lax.sort(
-        (tile_id, gid), num_keys=1, is_stable=True)
+    # depth-compact order). The expansion slot id rides along as a second
+    # payload so the backward can route gradients back to expansion order.
+    tile_sorted, gid_sorted, e_sorted = jax.lax.sort(
+        (tile_id, gid, slots), num_keys=1, is_stable=True)
 
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),
@@ -200,22 +215,34 @@ def build_intersections(
     count_cl = jnp.clip(counts, 0, isect_cap - astart_cl)
     tile_ranges = jnp.stack([astart_cl, astart_cl + count_cl], axis=-1)
 
-    # Relayout sorted slots to aligned positions with one unique-index
-    # scatter; the per-slot (astart - bounds)[tile] shift is a gather from an
-    # 8K table with sorted indices (cheap).
+    # Relayout sorted slots to aligned positions. The per-slot shift
+    # (astart - bounds)[tile] is piecewise constant over the sorted order, so
+    # instead of an 8M gather from the tile table it's a tiny scatter of
+    # per-tile shift *deltas* at the segment boundaries + one prefix sum.
     shift = (astart - bounds[:-1])             # [T]
-    shift_full = jnp.concatenate([shift, jnp.zeros((1,), jnp.int32)])
-    tile_cl = jnp.minimum(tile_sorted, num_tiles)
-    new_pos = slots + shift_full[tile_cl]
+    delta = shift - jnp.concatenate([jnp.zeros((1,), jnp.int32), shift[:-1]])
+    shift_marks = jnp.zeros((isect_cap,), jnp.int32).at[bounds[:-1]].add(
+        delta, mode="drop")
+    if jax.default_backend() != "cpu":
+        from brush_tpu.ops.scan_pallas import cumsum_rows
+        shift_ps = cumsum_rows(shift_marks[None, :])[0]
+    else:
+        shift_ps = jnp.cumsum(shift_marks)
+    new_pos = slots + shift_ps
     new_pos = jnp.where((tile_sorted < num_tiles) & (new_pos < isect_cap),
                         new_pos, isect_cap)    # sentinel/overflow -> dropped
 
-    # One scatter: gid+1 with 0 meaning "padding slot" (saves a second
-    # 8M-element scatter for the validity mask).
+    # Two relayout scatters: gid+1 (0 == padding slot, folding the validity
+    # mask into the same write) and the expansion slot id (cap == padding).
     gid_p1 = jnp.zeros((isect_cap,), jnp.int32).at[new_pos].set(
         gid_sorted + 1, mode="drop")
+    e_final = jnp.full((isect_cap,), isect_cap, jnp.int32).at[new_pos].set(
+        e_sorted, mode="drop")
     valid2 = gid_p1 > 0
     gid2 = jnp.maximum(gid_p1 - 1, 0)
+
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
 
     return Intersections(
         perm=perm,
@@ -225,4 +252,8 @@ def build_intersections(
         gid_from_isect=gid2,
         isect_valid=valid2,
         tile_ranges=tile_ranges,
+        e_from_isect=e_final,
+        starts_c=starts,
+        counts_c=counts_c.astype(jnp.int32),
+        inv_perm=inv_perm,
     )
