@@ -9,8 +9,9 @@ The TPU-native counterpart of the reference's tile rasterizer
   every elementwise op is a dense [256, CK] VPU op — the reference's
   per-thread splat loop (rasterize.rs:114-153) becomes data-parallel.
 * The sequential per-pixel transmittance recurrence `T *= (1 - a)` becomes a
-  multiplicative Hillis-Steele scan over the lane axis (log2(CK) roll+mul
-  steps) giving all prefix transmittances at once; the per-pixel early-out
+  log-space prefix over the lane axis, computed as ONE triangular matmul on
+  the MXU (exp(log(1-a) @ tri)) instead of a log2(CK)-step roll+mul ladder,
+  giving all prefix transmittances at once; the per-pixel early-out
   `next_T <= 1e-4` (rasterize.rs:138) becomes a monotone prefix test plus a
   carried `done` mask, and a whole-tile early exit ends the chunk loop when
   every pixel saturates (the shared-memory done counter of rasterize.rs:90).
@@ -57,19 +58,6 @@ def _lane_iota(n_rows, n_lanes):
     return jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 1)
 
 
-def _exclusive_cumprod_lanes(x):
-    """Exclusive multiplicative scan along the lane axis of [R, CK]."""
-    rows, lanes = x.shape
-    ids = _lane_iota(rows, lanes)
-    # Shift right by one lane (fill 1.0) => exclusive.
-    y = jnp.where(ids >= 1, pltpu.roll(x, 1, 1), 1.0)
-    shift = 1
-    while shift < lanes:
-        y = y * jnp.where(ids >= shift, pltpu.roll(y, shift, 1), 1.0)
-        shift *= 2
-    return y
-
-
 def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                 proj_ref,              # [16, I] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
@@ -97,6 +85,7 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
     py = (ty * TILE_WIDTH + pix // TILE_WIDTH).astype(jnp.float32) + 0.5
 
     lane_ids = _lane_iota(1, CK)  # [1, CK]
+    tri_strict, _ = _tri_masks(CK)
 
     def dma(slot, chunk):
         # Tile starts are ALIGN(=CK)-aligned by construction (ops/tiling.py).
@@ -141,7 +130,9 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
         a = jnp.where(gate, alpha, 0.0)
 
         one_minus = 1.0 - a
-        cp_excl = _exclusive_cumprod_lanes(one_minus)
+        # Exclusive lane cumprod via log-space MXU prefix (see _prefix_mxu);
+        # alpha caps at 0.999 so log(one_minus) is finite.
+        cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
         s_excl = t_acc * cp_excl
         s_incl = s_excl * one_minus
         blended = (s_incl > TRANSMITTANCE_EPS) & ~done_in
@@ -305,16 +296,26 @@ def tiles_to_image(tiles, img_size):
 # 369-375), 10 visibility (total blend weight > 0), rest padding.
 
 
-def _additive_prefix_lanes(x):
-    """Inclusive additive scan along the lane axis of [R, CK]."""
-    rows, lanes = x.shape
-    ids = _lane_iota(rows, lanes)
-    y = x
-    shift = 1
-    while shift < lanes:
-        y = y + jnp.where(ids >= shift, pltpu.roll(y, shift, 1), 0.0)
-        shift *= 2
-    return y
+def _tri_masks(n):
+    """Triangular [n, n] f32 masks for MXU prefix scans: strict (j < k) and
+    inclusive (j <= k)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (j < k).astype(jnp.float32), (j <= k).astype(jnp.float32)
+
+
+def _prefix_mxu(x, tri):
+    """Lane-axis prefix sum of [R, CK] as one triangular matmul on the MXU.
+
+    The roll+add Hillis-Steele ladder costs log2(CK)=8 sequential
+    (roll, select, add) VPU passes over the whole block; a [CK, CK]
+    triangular contraction is one MXU op. With the strict mask this yields
+    the EXCLUSIVE prefix, with the inclusive mask the inclusive one.
+    """
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
@@ -377,8 +378,18 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
     def _():
         in_dma(0, 0).start()
 
-    def body(c, carry):
-        t_acc_signed, r_rem = carry
+    tri_strict, tri_incl = _tri_masks(CK)
+
+    # The compute loop runs only to nuseful (the forward's shrunk useful
+    # range, rasterize.rs:181-187); the [nuseful, nchunks) tail — splats the
+    # saturated tile never consumed — is zero-FILLED with DMA-only stores
+    # below, no VPU work (the gradient buffer must still be written: those
+    # slots are valid-keyed in the sorted reduce).
+    def cond(carry):
+        return carry[0] < nuseful
+
+    def body(carry):
+        c, t_acc_signed, r_rem = carry
         slot = c % 2
 
         # Output double-buffer: before overwriting obuf[slot], drain the
@@ -387,14 +398,10 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         def _():
             out_dma(slot, c - 2).wait()
 
-        compute = c < nuseful
-
-        @pl.when(compute)
+        @pl.when(c + 1 < nuseful)
         def _():
-            @pl.when(c + 1 < nuseful)
-            def _():
-                in_dma(1 - slot, c + 1).start()
-            in_dma(slot, c).wait()
+            in_dma(1 - slot, c + 1).start()
+        in_dma(slot, c).wait()
 
         data = buf[slot]
 
@@ -415,7 +422,10 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         a = jnp.where(gate, alpha, 0.0)
 
         one_minus = 1.0 - a
-        cp_excl = _exclusive_cumprod_lanes(one_minus)
+        # Exclusive lane cumprod in log space: alpha caps at 0.999 so
+        # one_minus >= 1e-3 and the log is always finite; gated-out lanes
+        # contribute log(1) = 0 exactly.
+        cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
         s_excl = t_acc * cp_excl
         s_incl = s_excl * one_minus
         blended = (s_incl > TRANSMITTANCE_EPS) & ~done_in
@@ -429,7 +439,7 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
             preferred_element_type=jnp.float32)            # [256, CK]
 
         g_contrib = w * v_w                                # [256, CK]
-        prefix_incl = _additive_prefix_lanes(g_contrib)
+        prefix_incl = _prefix_mxu(g_contrib, tri_incl)
         r_after = r_rem - prefix_incl                      # [256, CK]
 
         ra = 1.0 / one_minus
@@ -473,7 +483,7 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         ]
         grad_chunk = jnp.concatenate(
             rows + [zeros_like_lane] * (SOA_ROWS - len(rows)), axis=0)
-        obuf[slot] = jnp.where(compute, grad_chunk, 0.0)
+        obuf[slot] = grad_chunk
         out_dma(slot, c).start()
 
         # Forward replay state update.
@@ -483,22 +493,47 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
                           axis=1, keepdims=True)
         t_signed_new = jnp.where(done_in | crossed, -t_new, t_new)
         r_rem_new = r_rem - prefix_incl[:, CK - 1:CK]
-        keep = compute
-        t_out = jnp.where(keep, t_signed_new, t_acc_signed)
-        r_out = jnp.where(keep, r_rem_new, r_rem)
-        return (t_out, r_out)
+        return (c + 1, t_signed_new, r_rem_new)
 
-    init = (jnp.ones((TILE_PIX, 1), jnp.float32), r_rem0)
-    jax.lax.fori_loop(0, nchunks, body, init)
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.ones((TILE_PIX, 1), jnp.float32), r_rem0)
+    c_fin = jax.lax.while_loop(cond, body, init)[0]
 
-    # Drain outstanding stores.
-    @pl.when(nchunks >= 2)
+    # Drain the compute-phase stores before touching obuf again.
+    @pl.when(c_fin >= 2)
     def _():
-        out_dma(nchunks % 2, nchunks - 2).wait()
+        out_dma(c_fin % 2, c_fin - 2).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(c_fin >= 1)
     def _():
-        out_dma((nchunks - 1) % 2, nchunks - 1).wait()
+        out_dma((c_fin - 1) % 2, c_fin - 1).wait()
+
+    # Zero-fill [nuseful, nchunks): DMA-only stores of a zeroed buffer.
+    @pl.when(c_fin < nchunks)
+    def _():
+        obuf[0] = jnp.zeros((SOA_ROWS, CK), jnp.float32)
+        obuf[1] = jnp.zeros((SOA_ROWS, CK), jnp.float32)
+
+        def fill(c, _):
+            slot = c % 2
+
+            @pl.when(c >= c_fin + 2)
+            def _():
+                out_dma(slot, c - 2).wait()
+
+            out_dma(slot, c).start()
+            return 0
+
+        jax.lax.fori_loop(c_fin, nchunks, fill, 0)
+        nrem = nchunks - c_fin
+
+        @pl.when(nrem >= 2)
+        def _():
+            out_dma(nchunks % 2, nchunks - 2).wait()
+
+        @pl.when(nrem >= 1)
+        def _():
+            out_dma((nchunks - 1) % 2, nchunks - 1).wait()
 
 
 @functools.partial(jax.jit,
@@ -575,38 +610,33 @@ def _cumsum_flat_rows(x):
     return x
 
 
-def _reduce_grads_expansion(g, e_from_isect, starts_c, counts_c, inv_perm):
-    """Per-splat gradient reduction via expansion-space segments -> [N, C]
-    in GLOBAL splat order.
+def _reduce_grads_sorted(g, gid_from_isect, isect_valid, surv_starts_g,
+                         surv_counts_g):
+    """Per-splat gradient reduction -> [N, C] in GLOBAL splat order.
 
     The reference accumulates with f32 atomics (rasterize_backwards.rs
-    HfAtomicAdd); TPU has none, and every sorted/scattered alternative at 8M
-    intersections is ~1 s (sort-by-gid needs boundary extraction: an
-    [N,11]-wide scatter measures ~860 ms, searchsorted ~1.3 s). Instead we
-    route gradients back to EXPANSION order — where each splat's slots are
-    the contiguous KNOWN segment [starts_c, starts_c + counts_c) from the
-    tiling cumsum — so the reduce is one Pallas prefix-sum plus a cumsum
-    difference at precomputed boundaries. Total ~130 ms:
-
-      f_of_e  : invert the final->expansion map (one int32 scatter)
-      g_exp   : gather grads into expansion order ([C, I] gather)
-      cs      : Pallas carry-scan cumsum (ops/scan_pallas.py)
-      segment : csp[:, start+count] - csp[:, start]  (two [C, N] gathers)
+    HfAtomicAdd); TPU has none. A stable multi-payload sort by global gid
+    brings every splat's per-intersection gradients into one contiguous run
+    (89 ms at 8M slots — the scatter+gather expansion-order routing this
+    replaces measured 249 ms: XLA gathers/scatters cost ~7-24 ns *per
+    index*, while sort payloads move at near-bandwidth), and the segment
+    boundaries in sorted order are already known analytically: the tiling
+    pass counts each splat's surviving slots (Intersections.surv_*_g), so
+    the reduce is one Pallas carry-scan cumsum plus a boundary difference —
+    no boundary extraction, and the result lands directly in global splat
+    order (no inverse-permutation gather).
     """
     c, i_cap = g.shape
-    p_idx = jnp.arange(i_cap, dtype=jnp.int32)
-    # Final slot of each expansion slot; unwritten (dropped/padding)
-    # expansion slots point at the trailing zero column.
-    f_of_e = jnp.full((i_cap,), i_cap, jnp.int32).at[e_from_isect].set(
-        p_idx, mode="drop")
-    g_pad = jnp.concatenate([g, jnp.zeros((c, 1), g.dtype)], axis=1)
-    g_exp = g_pad[:, f_of_e]                            # [C, I] expansion
-    cs = _cumsum_flat_rows(g_exp)                       # [C, I]
+    n = surv_starts_g.shape[0]
+    key = jnp.where(isect_valid, gid_from_isect, n)
+    sorted_ops = jax.lax.sort(
+        (key,) + tuple(g[i] for i in range(c)), num_keys=1, is_stable=True)
+    g_sorted = jnp.stack(sorted_ops[1:], axis=0)        # [C, I] gid-major
+    cs = _cumsum_flat_rows(g_sorted)                    # [C, I]
     csp = jnp.concatenate([jnp.zeros((c, 1), cs.dtype), cs], axis=1)
-    idx_lo = jnp.clip(starts_c, 0, i_cap)
-    idx_hi = jnp.clip(starts_c + counts_c, 0, i_cap)
-    per_compact = (csp[:, idx_hi] - csp[:, idx_lo]).T   # [N, C] compact order
-    return per_compact[inv_perm]                        # global splat order
+    idx_lo = jnp.clip(surv_starts_g, 0, i_cap)
+    idx_hi = jnp.clip(surv_starts_g + surv_counts_g, 0, i_cap)
+    return (csp[:, idx_hi] - csp[:, idx_lo]).T          # [N, C] global order
 
 
 def _use_interpret():
@@ -614,10 +644,10 @@ def _use_interpret():
     return _jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
 def rasterize_pallas(mean2d, conic, color, opac, refine_holder,
                      visible_holder, gid_from_isect, isect_valid,
-                     tile_ranges, e_from_isect, starts_c, counts_c, inv_perm,
+                     tile_ranges, surv_starts_g, surv_counts_g,
                      bg, img_size):
     """Production rasterize: [H, W, 4] image via the Pallas kernels.
 
@@ -626,8 +656,8 @@ def rasterize_pallas(mean2d, conic, color, opac, refine_holder,
     densify refine weight and the contributed-visibility mask (the
     reference's refine_weight_holder + `visible` buffer,
     brush-render-bwd/src/burn_glue.rs:252,269; rasterize.rs:141-143).
-    `e_from_isect`/`starts_c`/`counts_c`/`inv_perm` (Intersections fields)
-    drive the backward's expansion-order gradient reduction.
+    `surv_starts_g`/`surv_counts_g` (Intersections fields) drive the
+    backward's sorted-order gradient reduction.
     """
     img, _, _ = _rasterize_pallas_fwd_impl(
         mean2d, conic, color, opac, gid_from_isect, isect_valid,
@@ -645,30 +675,31 @@ def _rasterize_pallas_fwd_impl(mean2d, conic, color, opac, gid_from_isect,
 
 def _rasterize_pallas_fwd(mean2d, conic, color, opac, refine_holder,
                           visible_holder, gid_from_isect, isect_valid,
-                          tile_ranges, e_from_isect, starts_c, counts_c,
-                          inv_perm, bg, img_size):
+                          tile_ranges, surv_starts_g, surv_counts_g,
+                          bg, img_size):
     img, soa, tiles = _rasterize_pallas_fwd_impl(
         mean2d, conic, color, opac, gid_from_isect, isect_valid,
         tile_ranges, bg, img_size)
     res = (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges,
-           e_from_isect, starts_c, counts_c, inv_perm, bg, mean2d.shape[0])
+           surv_starts_g, surv_counts_g, bg, mean2d.shape[0])
     return img, res
 
 
 def _rasterize_pallas_bwd(img_size, res, v_img):
     (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges,
-     e_from_isect, starts_c, counts_c, inv_perm, bg, n) = res
+     surv_starts_g, surv_counts_g, bg, n) = res
 
     v_tiles = image_to_tiles(v_img, img_size)
     grads_soa = rasterize_backward_pallas(
         soa, tile_ranges, tiles, v_tiles, bg, img_size,
         interpret=_use_interpret())
 
-    # No validity masking needed: the expansion-order reduce only gathers
-    # slots the kernel actually wrote (dropped expansion slots route to a
-    # zero column), so sentinel-region NaN garbage is never touched.
-    per_splat = _reduce_grads_expansion(
-        grads_soa[:11], e_from_isect, starts_c, counts_c, inv_perm)  # [n,11]
+    # The sorted-order reduce keys padding slots (isect_valid False) past
+    # every real gid, so whatever the kernel left in never-written
+    # sentinel-region slots sorts to the tail and is never summed.
+    per_splat = _reduce_grads_sorted(
+        grads_soa[:11], gid_from_isect, isect_valid,
+        surv_starts_g, surv_counts_g)                               # [n,11]
 
     v_mean2d = per_splat[:, 0:2]
     v_conic = per_splat[:, 2:5]
@@ -688,9 +719,8 @@ def _rasterize_pallas_bwd(img_size, res, v_img):
     zero_int = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
     return (v_mean2d, v_conic, v_color, v_opac, v_refine, v_visible,
             zero_int(gid_from_isect), zero_int(isect_valid),
-            zero_int(tile_ranges), zero_int(e_from_isect),
-            zero_int(starts_c), zero_int(counts_c), zero_int(inv_perm),
-            v_bg)
+            zero_int(tile_ranges), zero_int(surv_starts_g),
+            zero_int(surv_counts_g), v_bg)
 
 
 rasterize_pallas.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)

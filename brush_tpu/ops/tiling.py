@@ -48,16 +48,15 @@ class Intersections(NamedTuple):
     gid_from_isect: jnp.ndarray   # [I] global splat id per isect slot
     isect_valid: jnp.ndarray   # [I] bool — False for padding/overflow slots
     tile_ranges: jnp.ndarray   # [T,2] (start, start+count); starts ALIGN-aligned
-    # Expansion-space bookkeeping for the backward gradient reduction
-    # (rasterize_pallas._reduce_grads_expansion): expansion slot e of splat c
-    # (compact order) lives in [starts_c[c], starts_c[c] + counts_c[c]) — the
-    # KNOWN segment boundaries that let the per-splat reduce be a cumsum
-    # difference instead of a sort-by-gid (which needs 8M-scale boundary
-    # scatters/searchsorteds, measured ~1 s on TPU).
-    e_from_isect: jnp.ndarray  # [I] expansion slot per final slot; I if pad
-    starts_c: jnp.ndarray      # [N] expansion segment start per compact id
-    counts_c: jnp.ndarray      # [N] expansion segment length per compact id
-    inv_perm: jnp.ndarray      # [N] global gid -> compact index
+    # Bookkeeping for the backward per-splat gradient reduction
+    # (rasterize_pallas._reduce_grads_sorted): after a stable sort of the
+    # per-slot gradients by global gid, splat g's surviving slots occupy
+    # [surv_starts_g[g], surv_starts_g[g] + surv_counts_g[g]) — KNOWN
+    # boundaries (computed here from the contribution mask, pre-sort) that
+    # make the reduce a cumsum difference instead of a boundary extraction
+    # (8M-scale boundary scatters/searchsorteds measure ~1 s on TPU).
+    surv_starts_g: jnp.ndarray  # [N] sorted-order segment start, global order
+    surv_counts_g: jnp.ndarray  # [N] surviving slots per splat, global order
 
 
 ALIGN = 256
@@ -108,6 +107,15 @@ def will_contribute(
     ddy = py - my
     sigma = 0.5 * (c00 * ddx * ddx + c11 * ddy * ddy) + c01 * ddx * ddy
     return (in_x & in_y) | (sigma <= power_threshold)
+
+
+def _cumsum_flat(x):
+    """Inclusive 1-D prefix sum: Pallas carry-scan on TPU, jnp.cumsum on CPU
+    (same rationale as _cummax_flat)."""
+    if jax.default_backend() != "cpu":
+        from brush_tpu.ops.scan_pallas import cumsum_rows
+        return cumsum_rows(x[None, :])[0]
+    return jnp.cumsum(x)
 
 
 def _cummax_flat(x):
@@ -192,13 +200,29 @@ def build_intersections(
     in_range = slots < num_isects
     contrib = will_contribute(tx, ty, vals[0], vals[1], vals[2], vals[3],
                               vals[4], vals[5])
-    tile_id = jnp.where(in_range & contrib, ty * tile_bw + tx, num_tiles)
+    survives = in_range & contrib
+    tile_id = jnp.where(survives, ty * tile_bw + tx, num_tiles)
+
+    # Surviving-slot counts per splat (for the backward's sorted-order
+    # segment reduce): segment-sum of `survives` over each compact splat's
+    # contiguous expansion block via the scan + boundary difference, then
+    # routed to global order and exclusive-cumsummed. (If the capacity
+    # overflows, tail slots are additionally dropped at relayout below and
+    # these counts overshoot — but overflow already invalidates the render
+    # and triggers the host-side retry-bigger path.)
+    surv_cs = _cumsum_flat(survives.astype(jnp.int32))
+    surv_csp = jnp.concatenate([jnp.zeros((1,), jnp.int32), surv_cs])
+    idx_lo = jnp.clip(starts, 0, isect_cap)
+    idx_hi = jnp.clip(starts + counts_c, 0, isect_cap)
+    surv_c = surv_csp[idx_hi] - surv_csp[idx_lo]           # [N] compact order
+    surv_counts_g = jnp.zeros((n,), jnp.int32).at[perm].set(surv_c)
+    gcum = jnp.cumsum(surv_counts_g)
+    surv_starts_g = (gcum - surv_counts_g).astype(jnp.int32)
 
     # Stable sort keeps depth order within each tile (slots were generated in
-    # depth-compact order). The expansion slot id rides along as a second
-    # payload so the backward can route gradients back to expansion order.
-    tile_sorted, gid_sorted, e_sorted = jax.lax.sort(
-        (tile_id, gid, slots), num_keys=1, is_stable=True)
+    # depth-compact order).
+    tile_sorted, gid_sorted = jax.lax.sort(
+        (tile_id, gid), num_keys=1, is_stable=True)
 
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),
@@ -219,30 +243,25 @@ def build_intersections(
     # (astart - bounds)[tile] is piecewise constant over the sorted order, so
     # instead of an 8M gather from the tile table it's a tiny scatter of
     # per-tile shift *deltas* at the segment boundaries + one prefix sum.
+    # (A per-tile DMA-copy Pallas kernel would beat the ~50 ms scatter, but
+    # Mosaic requires DMA slice offsets provably divisible by the memref
+    # tiling — 1024 for 1-D i32 — and the sorted-side run starts are
+    # arbitrary, so the scatter stays.)
     shift = (astart - bounds[:-1])             # [T]
     delta = shift - jnp.concatenate([jnp.zeros((1,), jnp.int32), shift[:-1]])
     shift_marks = jnp.zeros((isect_cap,), jnp.int32).at[bounds[:-1]].add(
         delta, mode="drop")
-    if jax.default_backend() != "cpu":
-        from brush_tpu.ops.scan_pallas import cumsum_rows
-        shift_ps = cumsum_rows(shift_marks[None, :])[0]
-    else:
-        shift_ps = jnp.cumsum(shift_marks)
+    shift_ps = _cumsum_flat(shift_marks)
     new_pos = slots + shift_ps
     new_pos = jnp.where((tile_sorted < num_tiles) & (new_pos < isect_cap),
                         new_pos, isect_cap)    # sentinel/overflow -> dropped
 
-    # Two relayout scatters: gid+1 (0 == padding slot, folding the validity
-    # mask into the same write) and the expansion slot id (cap == padding).
+    # One relayout scatter: gid+1, with 0 == padding slot folding the
+    # validity mask into the same write.
     gid_p1 = jnp.zeros((isect_cap,), jnp.int32).at[new_pos].set(
         gid_sorted + 1, mode="drop")
-    e_final = jnp.full((isect_cap,), isect_cap, jnp.int32).at[new_pos].set(
-        e_sorted, mode="drop")
     valid2 = gid_p1 > 0
     gid2 = jnp.maximum(gid_p1 - 1, 0)
-
-    inv_perm = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32))
 
     return Intersections(
         perm=perm,
@@ -252,8 +271,6 @@ def build_intersections(
         gid_from_isect=gid2,
         isect_valid=valid2,
         tile_ranges=tile_ranges,
-        e_from_isect=e_final,
-        starts_c=starts,
-        counts_c=counts_c.astype(jnp.int32),
-        inv_perm=inv_perm,
+        surv_starts_g=surv_starts_g,
+        surv_counts_g=surv_counts_g,
     )

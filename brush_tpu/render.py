@@ -135,8 +135,8 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
                 proj.mean2d, proj.conic, proj.color, proj.opac,
                 refine_holder, visible_holder,
                 isect.gid_from_isect, isect.isect_valid,
-                isect.tile_ranges, isect.e_from_isect, isect.starts_c,
-                isect.counts_c, isect.inv_perm, bg, cfg.img_size)
+                isect.tile_ranges, isect.surv_starts_g,
+                isect.surv_counts_g, bg, cfg.img_size)
     else:
         img = rasterize(
             proj.mean2d, proj.conic, proj.color, proj.opac,
