@@ -1,13 +1,20 @@
-"""Production Pallas TPU rasterizer (forward).
+"""Production Pallas TPU rasterizer (forward + backward).
 
-The TPU-native counterpart of the reference's tile rasterizer
-(brush-render/src/kernels/rasterize.rs). Same math as ops/rasterize_jnp.py
-(the jnp spec/oracle), restructured for the TPU memory/compute model:
+The TPU-native counterpart of the reference's tile rasterizers
+(brush-render/src/kernels/rasterize.rs, brush-render-bwd/src/kernels/
+rasterize_backwards.rs). Same math as ops/rasterize_jnp.py (the jnp
+spec/oracle), restructured for the TPU memory/compute model:
 
 * One grid step per 16x16 tile. The tile's 256 pixels live on the *sublane*
   axis; a chunk of `CK` depth-ordered splats lives on the *lane* axis, so
   every elementwise op is a dense [256, CK] VPU op — the reference's
   per-thread splat loop (rasterize.rs:114-153) becomes data-parallel.
+* The per-slot splat attributes arrive as a [16, S] SoA built by the tile
+  sort itself (sort payloads, ops/tiling.py) — there is no per-slot gather
+  or relayout anywhere. Tile ranges are raw compact [start, end): chunk
+  reads use an aligned-down DMA window plus one dynamic lane roll
+  (Mosaic requires DMA offsets divisible by the 128-lane tiling), and
+  out-of-range lanes are masked explicitly.
 * The sequential per-pixel transmittance recurrence `T *= (1 - a)` becomes a
   log-space prefix over the lane axis, computed as ONE triangular matmul on
   the MXU (exp(log(1-a) @ tri)) instead of a log2(CK)-step roll+mul ladder,
@@ -15,18 +22,22 @@ The TPU-native counterpart of the reference's tile rasterizer
   `next_T <= 1e-4` (rasterize.rs:138) becomes a monotone prefix test plus a
   carried `done` mask, and a whole-tile early exit ends the chunk loop when
   every pixel saturates (the shared-memory done counter of rasterize.rs:90).
-* Projected splats are pre-gathered (XLA gather) into intersection order as
-  a [16, I] SoA so each chunk is one dense, 256-aligned DMA from HBM —
-  the cooperative shared-memory load of rasterize.rs:93-109. Double-buffered
-  via manual async copies.
-* Per-tile isect ranges arrive via scalar prefetch (SMEM) — the reference's
-  tile_offsets buffer.
+* The backward writes per-chunk gradient blocks to a CHUNK-INDEXED buffer
+  [chunk_cap, 16, CK] — leading-axis DMA offsets are unconstrained, and
+  chunk rows are uniquely owned, so the stores are race-free without any
+  alignment (TPU has no atomics; the reference uses f32 atomic adds,
+  rasterize_backwards.rs HfAtomicAdd). A gid key row rides in the block so
+  the per-splat reduction is a stable sort by gid + one Pallas carry-scan
+  cumsum + a boundary difference at analytically-known segment starts.
 * Extra outputs per tile: final transmittance (for the backward) and
   `useful_end` — one past the last intersection any pixel consumed — the
   reference's tile-range shrinking for the backward pass (rasterize.rs:181-187).
 
-SoA row layout (rows 0..8, rest padding):
-  0: xy_x, 1: xy_y, 2: conic00, 3: conic01, 4: conic11, 5: alpha, 6..8: rgb.
+SoA row layout (ops/tiling.py): 0 xy_x, 1 xy_y, 2 conic00, 3 conic01,
+4 conic11, 5 alpha, 6..8 rgb, 9 gid, rest padding. Gradient-block rows:
+0 v_xy_x, 1 v_xy_y, 2..4 v_conic, 5 v_opac, 6..8 v_rgb, 9 refine weight
+(|v_xy*img| / max(final_a,1e-5), rasterize_backwards.rs:369-375),
+10 visibility weight, 11 gid key.
 """
 
 from __future__ import annotations
@@ -48,34 +59,59 @@ from brush_tpu.constants import (
     TILE_WIDTH,
     TRANSMITTANCE_EPS,
 )
+from brush_tpu.ops.tiling import CK, SOA_ROWS
 
 TILE_PIX = TILE_WIDTH * TILE_WIDTH  # 256
-SOA_ROWS = 16
-CK = 256  # splats per chunk; must be a power of two and multiple of 128
+W = CK + 128                        # DMA window: chunk + roll slack
 
 
 def _lane_iota(n_rows, n_lanes):
     return jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_lanes), 1)
 
 
+def _tri_masks(n):
+    """Triangular [n, n] f32 masks for MXU prefix scans: strict (j < k) and
+    inclusive (j <= k)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (j < k).astype(jnp.float32), (j <= k).astype(jnp.float32)
+
+
+def _prefix_mxu(x, tri):
+    """Lane-axis prefix sum of [R, CK] as one triangular matmul on the MXU.
+
+    The roll+add Hillis-Steele ladder costs log2(CK)=8 sequential
+    (roll, select, add) VPU passes over the whole block; a [CK, CK]
+    triangular contraction is one MXU op. With the strict mask this yields
+    the EXCLUSIVE prefix, with the inclusive mask the inclusive one.
+    """
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _window(buf_slot, r):
+    """Rolled view of a [16, W] DMA window: lanes [0, CK) = the chunk."""
+    shift = jax.lax.rem(W - r, W)  # r == 0 must roll by 0, not W
+    return pltpu.roll(buf_slot, shift, 1)[:, :CK]
+
+
 def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
-                proj_ref,              # [16, I] f32 in ANY/HBM
+                soa_ref,               # [16, S+pad] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
                 out_ref,               # [1, 8, 256] VMEM block per tile
-                buf, sem,              # scratch: [2, 16, CK] VMEM, DMA sems (2,)
-                *, tile_bw: int, isect_cap: int):
+                buf, sem,              # scratch: [2, 16, W] VMEM, DMA sems (2,)
+                *, tile_bw: int):
     t = pl.program_id(0)
     # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded to
     # x128, blowing the 1 MB SMEM budget at 1080p tile counts.
     start = ranges_ref[2 * t]
     end = ranges_ref[2 * t + 1]
-
-    # Tile ranges are ALIGN(=CK)-aligned and own their full aligned span
-    # (ops/tiling.py), so chunks never cross tile boundaries and padding
-    # slots are inert (alpha == 0 in the SoA).
-    astart = start
-    span = end - astart
+    span = end - start
     nchunks = jnp.where(span > 0, (span + CK - 1) // CK, 0)
+    al = (start // 128) * 128
+    r = start - al
 
     # Pixel-center coordinates for this tile: [256, 1] on sublanes.
     pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
@@ -88,10 +124,9 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
     tri_strict, _ = _tri_masks(CK)
 
     def dma(slot, chunk):
-        # Tile starts are ALIGN(=CK)-aligned by construction (ops/tiling.py).
-        off = pl.multiple_of(astart + chunk * CK, CK)
+        off = pl.multiple_of(al + chunk * CK, 128)
         return pltpu.make_async_copy(
-            proj_ref.at[:, pl.ds(off, CK)], buf.at[slot], sem.at[slot])
+            soa_ref.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
@@ -114,19 +149,20 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
             dma(1 - slot, c + 1).start()
 
         dma(slot, c).wait()
-        data = buf[slot]
+        data = _window(buf[slot], r)
 
         done_in = t_acc_signed < 0.0                            # [256, 1]
         t_acc = jnp.abs(t_acc_signed)
 
-        isect = astart + c * CK + lane_ids
+        isect = start + c * CK + lane_ids
+        in_span = lane_ids < (span - c * CK)                    # [1, CK]
 
         dx = px - data[0:1, :]
         dy = py - data[1:2, :]
         sigma = (0.5 * (data[2:3, :] * dx * dx + data[4:5, :] * dy * dy)
                  + data[3:4, :] * dx * dy)
         alpha = jnp.minimum(ALPHA_CAP, data[5:6, :] * jnp.exp(-sigma))
-        gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID)
+        gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID) & in_span
         a = jnp.where(gate, alpha, 0.0)
 
         one_minus = 1.0 - a
@@ -195,30 +231,9 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
     out_ref[0, 7, :] = jnp.zeros((TILE_PIX,), jnp.float32)
 
 
-def build_soa(mean2d, conic, color, opac, gid_from_isect, isect_valid):
-    """Gather projected splats into intersection order as a [16, I] SoA.
-
-    Alignment-padding slots (isect_valid False) index a trailing dummy
-    all-zeros splat row (alpha 0 makes them inert in both the forward blend
-    and the backward replay) — one padded-table gather instead of a gather
-    plus a masked second write (TPU gathers are per-index-cost; ~2x faster).
-    """
-    n = opac.shape[0]
-    fields = jnp.stack([
-        mean2d[:, 0], mean2d[:, 1],
-        conic[:, 0], conic[:, 1], conic[:, 2],
-        opac,
-        color[:, 0], color[:, 1], color[:, 2],
-    ] + [jnp.zeros_like(opac)] * (SOA_ROWS - 9), axis=0)  # [16, N]
-    fields = jnp.concatenate(
-        [fields, jnp.zeros((SOA_ROWS, 1), fields.dtype)], axis=1)
-    gid_safe = jnp.where(isect_valid, gid_from_isect, n)
-    return fields[:, gid_safe]  # [16, I]
-
-
 @functools.partial(jax.jit, static_argnames=("img_size", "interpret"))
 def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
-    """Rasterize [16, I] SoA intersections -> tile image [T, 8, 256].
+    """Rasterize the sorted [16, S+pad] SoA -> tile image [T, 8, 256].
 
     Tile rows: 0..2 rgb, 3 alpha, 4 final transmittance, 5 useful-range
     length (for the backward pass), 6..7 padding.
@@ -227,8 +242,6 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
     tbw = -(-img_w // TILE_WIDTH)
     tbh = -(-img_h // TILE_WIDTH)
     n_tiles = tbw * tbh
-    isect_cap = soa.shape[1]
-    assert isect_cap % CK == 0, "isect capacity must be a multiple of 256"
 
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1)]).reshape(1, 4)
 
@@ -236,18 +249,18 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # proj soa (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # soa (manual DMA)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bg
         ],
         out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, SOA_ROWS, CK), jnp.float32),
+            pltpu.VMEM((2, SOA_ROWS, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = functools.partial(_fwd_kernel, tile_bw=tbw, isect_cap=isect_cap)
+    kernel = functools.partial(_fwd_kernel, tile_bw=tbw)
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -272,71 +285,35 @@ def tiles_to_image(tiles, img_size):
 # ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
-#
-# TPU-native counterpart of rasterize_backwards_kernel
-# (brush-render-bwd/src/kernels/rasterize_backwards.rs). The reference replays
-# the blend per tile with one SIMD lane per splat and accumulates the
-# 10-component splat gradient via f32 atomics; TPUs have no atomics, so:
-#
-# * the replay is the same lane-parallel prefix-scan structure as the
-#   forward, producing per-(splat, pixel) adjoints as dense [256, CK] ops;
-# * per-intersection gradients (summed over the tile's pixels) are written
-#   to an intersection-indexed SoA with plain DMA stores — race-free because
-#   the aligned tile ranges never share a chunk (ops/tiling.py ALIGN);
-# * the cross-tile reduction per splat happens outside the kernel as one
-#   XLA scatter-add over gid_from_isect (SURVEY.md §2.1: "reduce with
-#   segment_sum instead of atomics").
-#
-# The suffix color sums the reference tracks in shared memory
-# (rasterize_backwards.rs pix_state) come for free here: for each pixel,
-# R_rem = dot(pre_bg_rgb, v_rgb) initially, decremented chunk by chunk.
-#
-# Gradient SoA rows: 0 v_xy_x, 1 v_xy_y, 2..4 v_conic, 5 v_opac, 6..8 v_rgb,
-# 9 refine weight (|v_xy*img| / max(final_a,1e-5), rasterize_backwards.rs:
-# 369-375), 10 visibility (total blend weight > 0), rest padding.
-
-
-def _tri_masks(n):
-    """Triangular [n, n] f32 masks for MXU prefix scans: strict (j < k) and
-    inclusive (j <= k)."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (j < k).astype(jnp.float32), (j <= k).astype(jnp.float32)
-
-
-def _prefix_mxu(x, tri):
-    """Lane-axis prefix sum of [R, CK] as one triangular matmul on the MXU.
-
-    The roll+add Hillis-Steele ladder costs log2(CK)=8 sequential
-    (roll, select, add) VPU passes over the whole block; a [CK, CK]
-    triangular contraction is one MXU op. With the strict mask this yields
-    the EXCLUSIVE prefix, with the inclusive mask the inclusive one.
-    """
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
-                proj_ref,              # [16, I] f32 ANY/HBM
+                chunkb_ref,            # scalar-prefetch [T] int32 chunk base
+                soa_ref,               # [16, S+pad] f32 ANY/HBM
                 tiles_ref,             # [1, 8, 256] fwd output block (VMEM)
                 vt_ref,                # [1, 8, 256] cotangent block (VMEM)
                 bg_ref,                # [1, 4] f32 SMEM
-                grads_ref,             # [16, I] f32 ANY/HBM (output)
+                grads_ref,             # [chunk_cap, 16, CK] f32 ANY (output)
                 buf, sem, obuf, osem,  # scratch
-                *, tile_bw: int, img_w: int, img_h: int):
+                *, img_w: int, img_h: int, n_splats: int, chunk_cap: int):
     t = pl.program_id(0)
     start = ranges_ref[2 * t]
     end = ranges_ref[2 * t + 1]
     span = end - start
     nchunks = jnp.where(span > 0, (span + CK - 1) // CK, 0)
+    al = (start // 128) * 128
+    r = start - al
+    base = chunkb_ref[t]
 
     pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
+    tile_bw = -(-img_w // TILE_WIDTH)
     tx = t % tile_bw
     ty = t // tile_bw
     px = (tx * TILE_WIDTH + pix % TILE_WIDTH).astype(jnp.float32) + 0.5
     py = (ty * TILE_WIDTH + pix // TILE_WIDTH).astype(jnp.float32) + 0.5
+
+    lane_ids = _lane_iota(1, CK)
+    tri_strict, tri_incl = _tri_masks(CK)
 
     # Per-pixel saved state / cotangents: transpose [8,256] -> [256,8] so
     # pixels ride the sublane axis like everything else.
@@ -344,7 +321,6 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
     vt = vt_ref[0].T           # [256, 8]: v_rgb, v_A
     t_fin = ft[:, 4:5]
     final_a = ft[:, 3:4]
-    bg_vec = jnp.array([[0.0]], jnp.float32)  # placeholder, scalars below
     bg_r = bg_ref[0, 0]
     bg_g = bg_ref[0, 1]
     bg_b = bg_ref[0, 2]
@@ -365,26 +341,33 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
     inv_final_a = 1.0 / jnp.maximum(final_a, 1.0e-5)       # [256, 1]
 
     def in_dma(slot, chunk):
-        off = pl.multiple_of(start + chunk * CK, CK)
+        off = pl.multiple_of(al + chunk * CK, 128)
         return pltpu.make_async_copy(
-            proj_ref.at[:, pl.ds(off, CK)], buf.at[slot], sem.at[slot])
+            soa_ref.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot])
 
     def out_dma(slot, chunk):
-        off = pl.multiple_of(start + chunk * CK, CK)
+        # Lane-major gradient buffer [16, chunk_cap*CK]: chunk lane offsets
+        # are multiples of CK=256, satisfying Mosaic's 128-lane DMA
+        # alignment, and the reduce consumes this layout with NO transpose.
+        row = jnp.clip(base + chunk, 0, chunk_cap - 1)
+        off = pl.multiple_of(row * CK, CK)
         return pltpu.make_async_copy(
             obuf.at[slot], grads_ref.at[:, pl.ds(off, CK)], osem.at[slot])
 
-    @pl.when(nuseful > 0)
+    @pl.when(nchunks > 0)
     def _():
         in_dma(0, 0).start()
 
-    tri_strict, tri_incl = _tri_masks(CK)
+    def key_row(data, c):
+        in_span = (lane_ids < (span - c * CK)).astype(jnp.float32)
+        return (in_span * data[9:10, :]
+                + (1.0 - in_span) * jnp.float32(n_splats))
 
-    # The compute loop runs only to nuseful (the forward's shrunk useful
-    # range, rasterize.rs:181-187); the [nuseful, nchunks) tail — splats the
-    # saturated tile never consumed — is zero-FILLED with DMA-only stores
-    # below, no VPU work (the gradient buffer must still be written: those
-    # slots are valid-keyed in the sorted reduce).
+    # Compute loop runs only to nuseful (the forward's shrunk useful range,
+    # rasterize.rs:181-187); the [nuseful, nchunks) tail — splats the
+    # saturated tile never consumed — still gets zero gradients WITH a
+    # correct gid key row below (those slots are counted in the per-splat
+    # segment boundaries, so the key must be real).
     def cond(carry):
         return carry[0] < nuseful
 
@@ -398,15 +381,17 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         def _():
             out_dma(slot, c - 2).wait()
 
-        @pl.when(c + 1 < nuseful)
+        @pl.when(c + 1 < nchunks)
         def _():
             in_dma(1 - slot, c + 1).start()
         in_dma(slot, c).wait()
 
-        data = buf[slot]
+        data = _window(buf[slot], r)
 
         done_in = t_acc_signed < 0.0
         t_acc = jnp.abs(t_acc_signed)
+
+        in_span = lane_ids < (span - c * CK)
 
         dx = px - data[0:1, :]
         dy = py - data[1:2, :]
@@ -418,13 +403,10 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         gauss = jnp.exp(-sigma)
         og = opa * gauss
         alpha = jnp.minimum(ALPHA_CAP, og)
-        gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID)
+        gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID) & in_span
         a = jnp.where(gate, alpha, 0.0)
 
         one_minus = 1.0 - a
-        # Exclusive lane cumprod in log space: alpha caps at 0.999 so
-        # one_minus >= 1e-3 and the log is always finite; gated-out lanes
-        # contribute log(1) = 0 exactly.
         cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
         s_excl = t_acc * cp_excl
         s_incl = s_excl * one_minus
@@ -479,7 +461,7 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         rows = [
             g_xy_x, g_xy_y, g_c00, g_c01, g_c11, g_opa,
             v_col[0:1], v_col[1:2], v_col[2:3],
-            refine, w_total,
+            refine, w_total, key_row(data, c),
         ]
         grad_chunk = jnp.concatenate(
             rows + [zeros_like_lane] * (SOA_ROWS - len(rows)), axis=0)
@@ -508,7 +490,8 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
     def _():
         out_dma((c_fin - 1) % 2, c_fin - 1).wait()
 
-    # Zero-fill [nuseful, nchunks): DMA-only stores of a zeroed buffer.
+    # Fill [nuseful, nchunks): zero gradients + real gid keys. DMA-in is
+    # still needed for the gid row, but no blend math runs.
     @pl.when(c_fin < nchunks)
     def _():
         obuf[0] = jnp.zeros((SOA_ROWS, CK), jnp.float32)
@@ -521,6 +504,12 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
             def _():
                 out_dma(slot, c - 2).wait()
 
+            @pl.when(c + 1 < nchunks)
+            def _():
+                in_dma(1 - slot, c + 1).start()
+            in_dma(slot, c).wait()
+            data = _window(buf[slot], r)
+            obuf[slot, 11, :] = key_row(data, c)[0]
             out_dma(slot, c).start()
             return 0
 
@@ -535,47 +524,54 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         def _():
             out_dma((nchunks - 1) % 2, nchunks - 1).wait()
 
+    # The fill loop's first in_dma(c_fin) was prefetched by the compute
+    # phase only when the while loop ran to completion; when it early-exits
+    # (all pixels saturated before nuseful) the prefetch for c_fin is in
+    # flight from the last compute iteration and the fill loop's own
+    # in_dma(c_fin).wait() consumes it. Nothing further to drain here.
+
 
 @functools.partial(jax.jit,
-                   static_argnames=("img_size", "interpret"))
-def rasterize_backward_pallas(soa, tile_ranges, tiles, v_tiles, bg, img_size,
-                              interpret=False):
-    """Per-intersection gradient SoA [16, I] from image cotangents."""
+                   static_argnames=("img_size", "chunk_cap", "interpret"))
+def rasterize_backward_pallas(soa, tile_ranges, chunk_starts, tiles, v_tiles,
+                              bg, img_size, chunk_cap, interpret=False):
+    """Per-chunk gradient blocks [chunk_cap, 16, CK] from image cotangents."""
     img_w, img_h = img_size
     tbw = -(-img_w // TILE_WIDTH)
     tbh = -(-img_h // TILE_WIDTH)
     n_tiles = tbw * tbh
-    isect_cap = soa.shape[1]
+    n_splats_key = soa.shape[1]  # placeholder; real key bound passed below
 
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1)]).reshape(1, 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # proj soa
-            pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),   # soa
+            pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # fwd tiles
-            pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
+            pl.BlockSpec((1, 8, TILE_PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # cotangent tiles
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bg
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, SOA_ROWS, CK), jnp.float32),
+            pltpu.VMEM((2, SOA_ROWS, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, SOA_ROWS, CK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, tile_bw=tbw,
-                               img_w=img_w, img_h=img_h)
+    kernel = functools.partial(_bwd_kernel, img_w=img_w, img_h=img_h,
+                               n_splats=n_splats_key, chunk_cap=chunk_cap)
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((SOA_ROWS, isect_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SOA_ROWS, chunk_cap * CK),
+                                       jnp.float32),
         interpret=interpret,
-    )(tile_ranges.reshape(-1), soa, tiles, v_tiles, bg4)
+    )(tile_ranges.reshape(-1), chunk_starts, soa, tiles, v_tiles, bg4)
     return grads
 
 
@@ -610,33 +606,43 @@ def _cumsum_flat_rows(x):
     return x
 
 
-def _reduce_grads_sorted(g, gid_from_isect, isect_valid, surv_starts_g,
-                         surv_counts_g):
-    """Per-splat gradient reduction -> [N, C] in GLOBAL splat order.
+def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n):
+    """Per-splat gradient reduction -> [N, 11] in GLOBAL splat order.
 
     The reference accumulates with f32 atomics (rasterize_backwards.rs
-    HfAtomicAdd); TPU has none. A stable multi-payload sort by global gid
-    brings every splat's per-intersection gradients into one contiguous run
-    (89 ms at 8M slots — the scatter+gather expansion-order routing this
-    replaces measured 249 ms: XLA gathers/scatters cost ~7-24 ns *per
-    index*, while sort payloads move at near-bandwidth), and the segment
-    boundaries in sorted order are already known analytically: the tiling
-    pass counts each splat's surviving slots (Intersections.surv_*_g), so
-    the reduce is one Pallas carry-scan cumsum plus a boundary difference —
-    no boundary extraction, and the result lands directly in global splat
-    order (no inverse-permutation gather).
+    HfAtomicAdd); TPU has none. A stable multi-payload sort by the gid key
+    row brings every splat's per-intersection gradients into one contiguous
+    run (sort payloads move at near-bandwidth, unlike per-index
+    gathers/scatters), and the segment boundaries in sorted order are known
+    analytically: the tiling pass counts each splat's surviving slots
+    (Intersections.surv_*_g), so the reduce is one Pallas carry-scan cumsum
+    plus a boundary difference — no boundary extraction, and the result
+    lands directly in global splat order.
     """
-    c, i_cap = g.shape
-    n = surv_starts_g.shape[0]
-    key = jnp.where(isect_valid, gid_from_isect, n)
+    gt = grads3                                            # [16, L] lane-major
+    l = gt.shape[1]
+    # Chunk rows past num_chunks were never written: mask their keys to the
+    # sentinel BEFORE the int conversion (garbage floats sort anywhere).
+    chunk_ok = (jnp.arange(l, dtype=jnp.int32) // CK) < num_chunks
+    key = jnp.where(chunk_ok, gt[11], jnp.float32(n)).astype(jnp.int32)
+    key = jnp.clip(key, 0, n)
+    # Non-stable: tie order within a splat only permutes the summation
+    # order, and XLA's sorting network is a fixed deterministic program —
+    # same inputs give bitwise-identical sums run to run (the reference's
+    # atomic adds don't even guarantee that).
     sorted_ops = jax.lax.sort(
-        (key,) + tuple(g[i] for i in range(c)), num_keys=1, is_stable=True)
-    g_sorted = jnp.stack(sorted_ops[1:], axis=0)        # [C, I] gid-major
-    cs = _cumsum_flat_rows(g_sorted)                    # [C, I]
-    csp = jnp.concatenate([jnp.zeros((c, 1), cs.dtype), cs], axis=1)
-    idx_lo = jnp.clip(surv_starts_g, 0, i_cap)
-    idx_hi = jnp.clip(surv_starts_g + surv_counts_g, 0, i_cap)
-    return (csp[:, idx_hi] - csp[:, idx_lo]).T          # [N, C] global order
+        (key,) + tuple(gt[i] for i in range(11)), num_keys=1, is_stable=False)
+    g_sorted = jnp.stack(sorted_ops[1:], axis=0)           # [11, L] gid-major
+    cs = _cumsum_flat_rows(g_sorted)                       # [11, L]
+    csp = jnp.concatenate([jnp.zeros((11, 1), cs.dtype), cs], axis=1)
+    # Segments are contiguous in global order (starts are an exclusive
+    # cumsum), so segment ends are the next segment's starts: ONE gather at
+    # N+1 boundaries + a shifted difference, not two N-sized gathers —
+    # boundary gathers are the reduce's dominant cost (~21 ns/index).
+    ends = surv_starts_g[-1:] + surv_counts_g[-1:]
+    bpos = jnp.clip(jnp.concatenate([surv_starts_g, ends]), 0, l)
+    b = csp[:, bpos]                                       # [11, N+1]
+    return (b[:, 1:] - b[:, :-1]).T                        # [N, 11] global
 
 
 def _use_interpret():
@@ -644,62 +650,53 @@ def _use_interpret():
     return _jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
 def rasterize_pallas(mean2d, conic, color, opac, refine_holder,
-                     visible_holder, gid_from_isect, isect_valid,
-                     tile_ranges, surv_starts_g, surv_counts_g,
-                     bg, img_size):
+                     visible_holder, soa, tile_ranges, chunk_starts,
+                     num_chunks, surv_starts_g, surv_counts_g,
+                     bg, img_size, chunk_cap):
     """Production rasterize: [H, W, 4] image via the Pallas kernels.
 
-    Differentiable w.r.t. mean2d/conic/color/opac/bg; `refine_holder` and
-    `visible_holder` are zeros-[N] dummies whose cotangents carry the
-    densify refine weight and the contributed-visibility mask (the
-    reference's refine_weight_holder + `visible` buffer,
-    brush-render-bwd/src/burn_glue.rs:252,269; rasterize.rs:141-143).
-    `surv_starts_g`/`surv_counts_g` (Intersections fields) drive the
-    backward's sorted-order gradient reduction.
+    Differentiable w.r.t. mean2d/conic/color/opac/bg — the actual forward
+    consumes the (gradient-stopped) sorted `soa` from ops/tiling.py; the
+    per-splat parameter arrays are declared so the custom VJP can return
+    their cotangents directly in global splat order, exactly like the
+    reference's hand-written backward node (burn_glue.rs:115-176).
+    `refine_holder` and `visible_holder` are zeros-[N] dummies whose
+    cotangents carry the densify refine weight and the
+    contributed-visibility mask (burn_glue.rs:252,269; rasterize.rs:141-143).
     """
-    img, _, _ = _rasterize_pallas_fwd_impl(
-        mean2d, conic, color, opac, gid_from_isect, isect_valid,
-        tile_ranges, bg, img_size)
+    img, _ = _rasterize_pallas_fwd_impl(soa, tile_ranges, bg, img_size)
     return img
 
 
-def _rasterize_pallas_fwd_impl(mean2d, conic, color, opac, gid_from_isect,
-                               isect_valid, tile_ranges, bg, img_size):
-    soa = build_soa(mean2d, conic, color, opac, gid_from_isect, isect_valid)
+def _rasterize_pallas_fwd_impl(soa, tile_ranges, bg, img_size):
     tiles = rasterize_forward_pallas(soa, tile_ranges, bg, img_size,
                                      interpret=_use_interpret())
-    return tiles_to_image(tiles, img_size), soa, tiles
+    return tiles_to_image(tiles, img_size), tiles
 
 
 def _rasterize_pallas_fwd(mean2d, conic, color, opac, refine_holder,
-                          visible_holder, gid_from_isect, isect_valid,
-                          tile_ranges, surv_starts_g, surv_counts_g,
-                          bg, img_size):
-    img, soa, tiles = _rasterize_pallas_fwd_impl(
-        mean2d, conic, color, opac, gid_from_isect, isect_valid,
-        tile_ranges, bg, img_size)
-    res = (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges,
+                          visible_holder, soa, tile_ranges, chunk_starts,
+                          num_chunks, surv_starts_g, surv_counts_g,
+                          bg, img_size, chunk_cap):
+    img, tiles = _rasterize_pallas_fwd_impl(soa, tile_ranges, bg, img_size)
+    res = (soa, tiles, tile_ranges, chunk_starts, num_chunks,
            surv_starts_g, surv_counts_g, bg, mean2d.shape[0])
     return img, res
 
 
-def _rasterize_pallas_bwd(img_size, res, v_img):
-    (soa, tiles, color, gid_from_isect, isect_valid, tile_ranges,
+def _rasterize_pallas_bwd(img_size, chunk_cap, res, v_img):
+    (soa, tiles, tile_ranges, chunk_starts, num_chunks,
      surv_starts_g, surv_counts_g, bg, n) = res
 
     v_tiles = image_to_tiles(v_img, img_size)
-    grads_soa = rasterize_backward_pallas(
-        soa, tile_ranges, tiles, v_tiles, bg, img_size,
-        interpret=_use_interpret())
+    grads3 = rasterize_backward_pallas(
+        soa, tile_ranges, chunk_starts, tiles, v_tiles, bg, img_size,
+        chunk_cap, interpret=_use_interpret())
 
-    # The sorted-order reduce keys padding slots (isect_valid False) past
-    # every real gid, so whatever the kernel left in never-written
-    # sentinel-region slots sorts to the tail and is never summed.
     per_splat = _reduce_grads_sorted(
-        grads_soa[:11], gid_from_isect, isect_valid,
-        surv_starts_g, surv_counts_g)                               # [n,11]
+        grads3, num_chunks, surv_starts_g, surv_counts_g, n)        # [n,11]
 
     v_mean2d = per_splat[:, 0:2]
     v_conic = per_splat[:, 2:5]
@@ -710,17 +707,16 @@ def _rasterize_pallas_bwd(img_size, res, v_img):
     v_visible = (per_splat[:, 10] > 0.0).astype(jnp.float32)
 
     # v_bg = sum_p T_p * v_rgb_p over real pixels (tiles carry T in row 4).
-    img_w, img_h = img_size
-    t_img = tiles_to_image(tiles, img_size)  # rgba; need T: recompute
+    t_img = tiles_to_image(tiles, img_size)  # rgba; alpha = 1 - T
     t_map = 1.0 - t_img[..., 3]
     v_bg = jnp.einsum("hw,hwc->c", t_map, v_img[..., :3],
                       precision=jax.lax.Precision.HIGHEST)
 
     zero_int = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
     return (v_mean2d, v_conic, v_color, v_opac, v_refine, v_visible,
-            zero_int(gid_from_isect), zero_int(isect_valid),
-            zero_int(tile_ranges), zero_int(surv_starts_g),
-            zero_int(surv_counts_g), v_bg)
+            jnp.zeros_like(soa), zero_int(tile_ranges),
+            zero_int(chunk_starts), zero_int(num_chunks),
+            zero_int(surv_starts_g), zero_int(surv_counts_g), v_bg)
 
 
 rasterize_pallas.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)

@@ -1,4 +1,4 @@
-"""Tile binning: depth sort -> intersection expansion -> tile sort -> ranges.
+"""Tile binning: depth sort -> dense+remainder expansion -> payload sort.
 
 Replaces the reference's atomic-compaction + radix-sort machinery
 (brush-render/src/render.rs:103-237, kernels/map_gaussians.rs, brush-sort,
@@ -6,27 +6,33 @@ brush-prefix-sum, get_tile_offset.rs) with XLA-native equivalents, tuned for
 what is actually fast on TPU (measured on v5e):
 
 * visible-set compaction -> one argsort over (+inf-masked) depth keys;
-* GPU prefix sum -> jnp.cumsum;
-* the scatter-style intersection expansion -> owner lookup via
-  *scatter-markers + an associative max-scan* (binary-search/searchsorted
-  over millions of queries costs >1s on TPU — gather chains; the scan is
-  pure elementwise passes);
-* all per-slot splat attributes come from ONE multi-channel gather of a
-  packed [R, N] table (nine separate 1-channel gathers cost ~9x more);
-* the second radix sort -> one stable lax.sort by tile id (~25 ms at 8M
-  pairs; stability preserves depth order within tiles like the reference's
-  stable LSD radix passes);
+* intersection expansion is SPLIT: the first K0 tile slots of every splat
+  are a dense [N, K0] broadcast computed directly from per-splat data (no
+  gather at all), and only the excess slots of large splats go through the
+  owner-lookup path (scatter-markers + running-max scan). This matters
+  because XLA gathers cost per-INDEX (~25-42 ns when owner runs are short):
+  at real-scene densities (~2-6 tiles/splat) the owner-gather over every
+  slot was the single most expensive op in the renderer;
+* the per-slot splat attributes (the rasterizer SoA: xy, conic, opacity,
+  rgb, gid) ride the tile sort as payloads — sort payloads move at
+  near-bandwidth, unlike the per-index scatter (aligned relayout) + gather
+  (SoA build) pair this replaces;
+* one `lax.sort` with keys (tile_id, depth_rank): (tile, rank) pairs are
+  unique (a splat contributes at most one slot per tile), so no stability
+  needed and depth order within tiles is exact (the reference's stable LSD
+  radix passes);
 * get_tile_offsets -> searchsorted with only T+1 queries (cheap direction).
 
-Capacity model: `isect_cap` is a static padded capacity. Each tile's final
-range starts at a multiple of ALIGN and owns its aligned span, so the Pallas
-kernels' fixed-size chunks never cross tile boundaries — that is what makes
-the backward's plain-DMA gradient stores race-free (no atomics on TPU).
-Padding slots are marked invalid; slots past the true count get the sentinel
-tile id `num_tiles` (map_gaussians.rs:53-57) and sort past every valid tile.
-The true (aligned) slot requirement is returned so a host-side wrapper can
-detect overflow and retry bigger — replacing the reference's mid-pipeline
-GPU->CPU count readback (render.rs:146-167).
+Capacity model: the sorted space has `N*K0 + isect_cap` slots (`isect_cap`
+is the REMAINDER capacity). Tile ranges are raw compact [start, end) —
+unaligned; the Pallas kernels read arbitrary-offset chunks via aligned-down
+DMA windows + a dynamic lane roll, and the backward writes gradients to a
+chunk-indexed buffer (leading-axis offsets are unconstrained), so no
+alignment relayout exists anywhere. Slots past the true count get the
+sentinel tile id `num_tiles` (map_gaussians.rs:53-57) and sort past every
+valid tile. Overflow (excess slots beyond isect_cap, or chunks beyond
+chunk_cap) is reported so a host-side wrapper can retry bigger — replacing
+the reference's mid-pipeline GPU->CPU count readback (render.rs:146-167).
 """
 
 from __future__ import annotations
@@ -39,27 +45,32 @@ import jax.numpy as jnp
 from brush_tpu.constants import TILE_WIDTH
 from brush_tpu.ops.projection import ProjectedSplats
 
+# SoA row layout in `soa` (and in the backward's gradient buffer):
+# 0 xy_x, 1 xy_y, 2 conic00, 3 conic01, 4 conic11, 5 opacity, 6..8 rgb,
+# 9 gid (exact in f32: gid < 2^24), 10..15 zero padding.
+SOA_ROWS = 16
+CK = 256          # rasterizer chunk length (lanes)
+LANE_PAD = CK + 128  # soa tail padding so window reads never run off the end
+
 
 class Intersections(NamedTuple):
     perm: jnp.ndarray          # [N] depth-sorted order: compact -> global gid
     num_visible: jnp.ndarray   # [] int32
-    num_isects: jnp.ndarray    # [] int32 true intersection count
-    num_isects_aligned: jnp.ndarray  # [] int32 slots used incl. alignment pad
-    gid_from_isect: jnp.ndarray   # [I] global splat id per isect slot
-    isect_valid: jnp.ndarray   # [I] bool — False for padding/overflow slots
-    tile_ranges: jnp.ndarray   # [T,2] (start, start+count); starts ALIGN-aligned
-    # Bookkeeping for the backward per-splat gradient reduction
-    # (rasterize_pallas._reduce_grads_sorted): after a stable sort of the
-    # per-slot gradients by global gid, splat g's surviving slots occupy
-    # [surv_starts_g[g], surv_starts_g[g] + surv_counts_g[g]) — KNOWN
-    # boundaries (computed here from the contribution mask, pre-sort) that
-    # make the reduce a cumsum difference instead of a boundary extraction
-    # (8M-scale boundary scatters/searchsorteds measure ~1 s on TPU).
+    num_isects: jnp.ndarray    # [] int32 REMAINDER slots needed — the
+    #   overflow predicate is num_isects > isect_cap (dense slots never
+    #   overflow; the default chunk_cap bound is safe by construction)
+    num_isects_aligned: jnp.ndarray  # [] int32 chunk-space slots used (NC*CK)
+    gid_from_isect: jnp.ndarray   # [S] global splat id per sorted slot
+    tile_ranges: jnp.ndarray   # [T,2] raw (start, end) in sorted order
+    soa: jnp.ndarray           # [16, S + LANE_PAD] f32 rasterizer SoA
+    chunk_starts: jnp.ndarray  # [T] int32 exclusive cumsum of per-tile chunks
+    num_chunks: jnp.ndarray    # [] int32 total chunks used
+    # After a sort of per-slot gradients by global gid, splat g's surviving
+    # slots occupy [surv_starts_g[g], +surv_counts_g[g]) — known boundaries
+    # (computed here pre-sort) that make the backward reduce a cumsum
+    # difference with no boundary extraction.
     surv_starts_g: jnp.ndarray  # [N] sorted-order segment start, global order
     surv_counts_g: jnp.ndarray  # [N] surviving slots per splat, global order
-
-
-ALIGN = 256
 
 
 def will_contribute(
@@ -111,7 +122,8 @@ def will_contribute(
 
 def _cumsum_flat(x):
     """Inclusive 1-D prefix sum: Pallas carry-scan on TPU, jnp.cumsum on CPU
-    (same rationale as _cummax_flat)."""
+    (associative_scan's recursive form compiles pathologically on TPU at 8M;
+    the carry-scan is one HBM pass)."""
     if jax.default_backend() != "cpu":
         from brush_tpu.ops.scan_pallas import cumsum_rows
         return cumsum_rows(x[None, :])[0]
@@ -121,9 +133,7 @@ def _cumsum_flat(x):
 def _cummax_flat(x):
     """Inclusive running max. On TPU: the Pallas carry-scan kernel (one HBM
     pass, ~4 ms at 8M vs ~23 ms for a ladder). On CPU (tests): a flat
-    Hillis-Steele shift+max ladder — jax.lax.associative_scan's recursive
-    odd/even decomposition takes the TPU compiler >15 min at 8M elements,
-    and the ladder compiles in seconds at test sizes."""
+    Hillis-Steele shift+max ladder."""
     if jax.default_backend() != "cpu":
         from brush_tpu.ops.scan_pallas import cummax_1d
         return cummax_1d(x)
@@ -137,13 +147,13 @@ def _cummax_flat(x):
     return x
 
 
-def _owner_from_starts(starts, nonempty, n, isect_cap):
+def _owner_from_starts(starts, nonempty, n, cap):
     """owner[slot] = compact index of the splat whose [start, start+count)
     block contains the slot: scatter (i+1) markers at non-empty starts, then
     an inclusive max-scan. Replaces searchsorted (slot-many binary-search
     gathers are ~50x slower on TPU)."""
-    idx = jnp.where(nonempty, starts, isect_cap)
-    marks = jnp.zeros((isect_cap,), jnp.int32).at[idx].max(
+    idx = jnp.where(nonempty, starts, cap)
+    marks = jnp.zeros((cap,), jnp.int32).at[idx].max(
         jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")
     owner = _cummax_flat(marks) - 1
     return jnp.clip(owner, 0, n - 1)
@@ -153,124 +163,142 @@ def build_intersections(
     proj: ProjectedSplats,
     img_size: tuple[int, int],
     isect_cap: int,
+    expand_k0: int = 4,
+    chunk_cap: int | None = None,
 ) -> Intersections:
+    # Binning decisions and the rasterizer SoA carry no gradient: parameter
+    # cotangents are manufactured by the rasterizer's custom VJP (per-splat,
+    # global order), exactly like the reference's hand-written backward.
+    proj = jax.tree.map(jax.lax.stop_gradient, proj)
     img_w, img_h = img_size
     tile_bw = -(-img_w // TILE_WIDTH)
     tile_bh = -(-img_h // TILE_WIDTH)
     num_tiles = tile_bw * tile_bh
     n = proj.depth.shape[0]
+    k0 = max(int(expand_k0), 1)
+    rem_cap = isect_cap
+    s_cap = n * k0 + rem_cap
+    if chunk_cap is None:
+        chunk_cap = s_cap // CK + num_tiles
 
-    # Depth "compaction": culled splats get +inf keys and sort to the end.
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    perm = jnp.argsort(depth_key).astype(jnp.int32)  # compact -> global
     num_visible = jnp.sum(proj.visible).astype(jnp.int32)
 
-    counts_c = proj.num_tiles_bbox[perm]
-    cum = jnp.cumsum(counts_c)
-    num_isects = cum[-1].astype(jnp.int32)
-    starts = (cum - counts_c).astype(jnp.int32)
+    # Everything runs in GLOBAL splat order: depth ordering comes from the
+    # sort KEY, not from a pre-permutation. Positive-float bit patterns are
+    # order-preserving as int32, so the depth key is a free bitcast — this
+    # removes the depth argsort and every per-index permutation
+    # gather/scatter the compact-order formulation needed. Culled splats
+    # have num_tiles_bbox == 0 (projection.py) and expand to nothing.
+    counts = proj.num_tiles_bbox.astype(jnp.int32)         # [N] global
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 0.0), jnp.int32)
 
-    owner = _owner_from_starts(starts, counts_c > 0, n, isect_cap)
-
-    # One multi-channel gather for every per-slot splat attribute (floats
-    # carry the small ints exactly).
+    # Per-splat attribute table, global order. Floats carry the small ints
+    # exactly (gid < 2^24, tile coords < 2^12); the depth key rides as a raw
+    # bit pattern (row 10) — gathers preserve bits, so it bitcasts back.
     table = jnp.stack([
         proj.mean2d[:, 0], proj.mean2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        proj.power_threshold,
+        proj.opac,
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        jnp.arange(n, dtype=jnp.float32),                  # gid
+        jax.lax.bitcast_convert_type(depth_bits, jnp.float32),
         proj.tile_min[:, 0].astype(jnp.float32),
         proj.tile_min[:, 1].astype(jnp.float32),
         jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1
                     ).astype(jnp.float32),
-    ], axis=0)[:, perm]                       # [9, N] in compact order
-    table = jnp.concatenate([
-        table,
-        starts[None, :].astype(jnp.float32),
-        perm[None, :].astype(jnp.float32),
-    ], axis=0)                                 # rows 9: start, 10: gid
+    ], axis=0)                                             # [14, N]
 
-    vals = table[:, owner]                     # [11, I] — the one big gather
-    slots = jnp.arange(isect_cap, dtype=jnp.int32)
-    local = slots - vals[9].astype(jnp.int32)
-    bb_w = vals[8].astype(jnp.int32)
-    tx = vals[6].astype(jnp.int32) + local % bb_w
-    ty = vals[7].astype(jnp.int32) + local // bb_w
-    gid = vals[10].astype(jnp.int32)
+    def tile_of(vals, local, in_range):
+        """Tile id for bbox-local slot indices `local` described by
+        attribute rows `vals`; sentinel past the splat's bbox. (No exact
+        gaussian-vs-tile pre-filter here: a non-contributing pair has every
+        pixel alpha below 1/255, so the rasterizer's alpha gate makes it
+        exactly inert — filtering early would only shrink kernel spans, and
+        its per-splat survivor bookkeeping costs more than it saves.)"""
+        bb_w = vals[13].astype(jnp.int32)
+        tx = vals[11].astype(jnp.int32) + local % bb_w
+        ty = vals[12].astype(jnp.int32) + local // bb_w
+        return jnp.where(in_range, ty * tile_bw + tx, num_tiles)
 
-    in_range = slots < num_isects
-    contrib = will_contribute(tx, ty, vals[0], vals[1], vals[2], vals[3],
-                              vals[4], vals[5])
-    survives = in_range & contrib
-    tile_id = jnp.where(survives, ty * tile_bw + tx, num_tiles)
+    # --- dense part: slots k < min(count, K0), pure per-splat broadcast ---
+    kd = jnp.arange(k0, dtype=jnp.int32)[None, :]          # [1, K0]
+    dense_in = kd < counts[:, None]                        # [N, K0]
+    tile_id_d = tile_of(table[:, :, None], kd, dense_in)   # [N, K0]
+    rank_d = jnp.broadcast_to(depth_bits[:, None], (n, k0))
+    gid_d = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k0))
 
-    # Surviving-slot counts per splat (for the backward's sorted-order
-    # segment reduce): segment-sum of `survives` over each compact splat's
-    # contiguous expansion block via the scan + boundary difference, then
-    # routed to global order and exclusive-cumsummed. (If the capacity
-    # overflows, tail slots are additionally dropped at relayout below and
-    # these counts overshoot — but overflow already invalidates the render
-    # and triggers the host-side retry-bigger path.)
-    surv_cs = _cumsum_flat(survives.astype(jnp.int32))
-    surv_csp = jnp.concatenate([jnp.zeros((1,), jnp.int32), surv_cs])
-    idx_lo = jnp.clip(starts, 0, isect_cap)
-    idx_hi = jnp.clip(starts + counts_c, 0, isect_cap)
-    surv_c = surv_csp[idx_hi] - surv_csp[idx_lo]           # [N] compact order
-    surv_counts_g = jnp.zeros((n,), jnp.int32).at[perm].set(surv_c)
-    gcum = jnp.cumsum(surv_counts_g)
-    surv_starts_g = (gcum - surv_counts_g).astype(jnp.int32)
+    # --- remainder: slots k >= K0 of large splats, owner-lookup expansion ---
+    rem_counts = jnp.maximum(counts - k0, 0)
+    rem_cum = _cumsum_flat(rem_counts)
+    rem_needed = rem_cum[-1].astype(jnp.int32)
+    rem_starts = (rem_cum - rem_counts).astype(jnp.int32)
+    owner = _owner_from_starts(rem_starts, rem_counts > 0, n, rem_cap)
+    vals_r = table[:, owner]                               # [14, R]
+    rem_slots = jnp.arange(rem_cap, dtype=jnp.int32)
+    local_r = k0 + (rem_slots - rem_starts[owner])
+    rem_in = rem_slots < rem_needed
+    tile_id_r = tile_of(vals_r, local_r, rem_in)
+    rank_r = jax.lax.bitcast_convert_type(vals_r[10], jnp.int32)
+    gid_r = vals_r[9].astype(jnp.int32)
 
-    # Stable sort keeps depth order within each tile (slots were generated in
-    # depth-compact order).
-    tile_sorted, gid_sorted = jax.lax.sort(
-        (tile_id, gid), num_keys=1, is_stable=True)
+    # --- concat + sort by (tile, depth bits, gid) ---
+    # gid as the third key both tie-breaks equal depths deterministically
+    # (the reference's stable radix does the same implicitly) and doubles as
+    # the SoA gid row on the way out.
+    tile_id = jnp.concatenate([tile_id_d.reshape(-1), tile_id_r])
+    rank = jnp.concatenate([rank_d.reshape(-1), rank_r])
+    gid_all = jnp.concatenate([gid_d.reshape(-1), gid_r])
+    payload = [
+        jnp.concatenate([
+            jnp.broadcast_to(table[r][:, None], (n, k0)).reshape(-1),
+            vals_r[r],
+        ]) for r in range(9)                               # xy,conic,opac,rgb
+    ]
+    sorted_ops = jax.lax.sort(
+        (tile_id, rank, gid_all, *payload), num_keys=3, is_stable=False)
+    tile_sorted = sorted_ops[0]
+    gid_from_isect = sorted_ops[2]
+    soa_rows = sorted_ops[3:]
+
+    # Assemble the kernel SoA in one stack (per-row lane pads first; a
+    # stack-then-concat chain measured ~100 ms at 9M from the extra full
+    # materializations).
+    pad = jnp.zeros((LANE_PAD,), jnp.float32)
+    zrow = jnp.zeros((s_cap + LANE_PAD,), jnp.float32)
+    rows16 = ([jnp.concatenate([r, pad]) for r in soa_rows]
+              + [jnp.concatenate([gid_from_isect.astype(jnp.float32), pad])]
+              + [zrow] * (SOA_ROWS - 10))
+    soa = jnp.stack(rows16, axis=0)
 
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),
         side="left").astype(jnp.int32)         # T+1 queries: cheap direction
-    counts = bounds[1:] - bounds[:-1]          # [T]
+    counts_t = bounds[1:] - bounds[:-1]        # [T]
+    tile_ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
 
-    # ALIGN-aligned per-tile starts.
-    aligned_counts = ((counts + ALIGN - 1) // ALIGN) * ALIGN
-    acum = jnp.cumsum(aligned_counts)
-    astart = (acum - aligned_counts).astype(jnp.int32)
-    num_aligned = acum[-1].astype(jnp.int32)
+    nchunks = (counts_t + CK - 1) // CK
+    ccum = jnp.cumsum(nchunks)
+    num_chunks = ccum[-1].astype(jnp.int32)
+    chunk_starts = (ccum - nchunks).astype(jnp.int32)
 
-    astart_cl = jnp.minimum(astart, isect_cap)
-    count_cl = jnp.clip(counts, 0, isect_cap - astart_cl)
-    tile_ranges = jnp.stack([astart_cl, astart_cl + count_cl], axis=-1)
-
-    # Relayout sorted slots to aligned positions. The per-slot shift
-    # (astart - bounds)[tile] is piecewise constant over the sorted order, so
-    # instead of an 8M gather from the tile table it's a tiny scatter of
-    # per-tile shift *deltas* at the segment boundaries + one prefix sum.
-    # (A per-tile DMA-copy Pallas kernel would beat the ~50 ms scatter, but
-    # Mosaic requires DMA slice offsets provably divisible by the memref
-    # tiling — 1024 for 1-D i32 — and the sorted-side run starts are
-    # arbitrary, so the scatter stays.)
-    shift = (astart - bounds[:-1])             # [T]
-    delta = shift - jnp.concatenate([jnp.zeros((1,), jnp.int32), shift[:-1]])
-    shift_marks = jnp.zeros((isect_cap,), jnp.int32).at[bounds[:-1]].add(
-        delta, mode="drop")
-    shift_ps = _cumsum_flat(shift_marks)
-    new_pos = slots + shift_ps
-    new_pos = jnp.where((tile_sorted < num_tiles) & (new_pos < isect_cap),
-                        new_pos, isect_cap)    # sentinel/overflow -> dropped
-
-    # One relayout scatter: gid+1, with 0 == padding slot folding the
-    # validity mask into the same write.
-    gid_p1 = jnp.zeros((isect_cap,), jnp.int32).at[new_pos].set(
-        gid_sorted + 1, mode="drop")
-    valid2 = gid_p1 > 0
-    gid2 = jnp.maximum(gid_p1 - 1, 0)
+    # Every in-bbox slot reaches the sorted ranges (no pre-filter), so the
+    # per-splat surviving-slot counts for the backward's sorted-order
+    # segment reduce are just the bbox counts.
+    gcum = _cumsum_flat(counts)
+    surv_starts_g = (gcum - counts).astype(jnp.int32)
 
     return Intersections(
-        perm=perm,
+        perm=jnp.arange(n, dtype=jnp.int32),
         num_visible=num_visible,
-        num_isects=num_isects,
-        num_isects_aligned=num_aligned,
-        gid_from_isect=gid2,
-        isect_valid=valid2,
+        num_isects=rem_needed,
+        num_isects_aligned=(num_chunks * CK).astype(jnp.int32),
+        gid_from_isect=gid_from_isect,
         tile_ranges=tile_ranges,
+        soa=soa,
+        chunk_starts=chunk_starts,
+        num_chunks=num_chunks,
         surv_starts_g=surv_starts_g,
-        surv_counts_g=surv_counts_g,
+        surv_counts_g=counts,
     )

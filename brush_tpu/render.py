@@ -41,7 +41,12 @@ class RenderConfig:
     sh_degree: int = 3
     model: CameraModel = Pinhole()
     mip_splatting: bool = False
-    isect_cap: int = 1 << 16           # padded intersection capacity
+    isect_cap: int = 1 << 16           # REMAINDER slot capacity (slots past
+    #   each splat's first expand_k0 bbox tiles; aux.num_isects reports the
+    #   needed value for overflow retry)
+    expand_k0: int = 4                 # dense expansion width per splat
+    chunk_cap: int | None = None       # backward gradient chunk rows
+    #   (None = safe bound; set tighter to shrink the backward reduce)
     max_per_tile: int = 1024           # jnp-rasterizer per-tile bound
     chunk: int = 32
     smooth_cutoff: bool = False        # test-only C^1 alpha cutoff
@@ -52,13 +57,22 @@ class RenderConfig:
         w, h = self.img_size
         return (-(-w // TILE_WIDTH), -(-h // TILE_WIDTH))
 
+    def resolved_chunk_cap(self, n_splats: int) -> int:
+        if self.chunk_cap is not None:
+            return self.chunk_cap
+        from brush_tpu.ops.tiling import CK
+        s_cap = n_splats * self.expand_k0 + self.isect_cap
+        tw, th = self.tile_grid
+        return s_cap // CK + tw * th
+
 
 @struct.dataclass
 class RenderAux:
     """Side outputs of a render (reference: render_aux.rs:73)."""
 
     num_visible: jnp.ndarray        # [] int32
-    num_isects: jnp.ndarray         # [] int32 — compare against isect_cap!
+    num_isects: jnp.ndarray         # [] int32 remainder slots needed —
+    #   compare against isect_cap for overflow/retry!
     max_isects_per_tile: jnp.ndarray  # [] int32 — compare against max_per_tile!
     visible: jnp.ndarray            # [N] 1.0 where splat contributed
     max_radius: jnp.ndarray         # [N] screen-fraction radius
@@ -121,7 +135,9 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
             cfg.img_size, sh_degree=cfg.sh_degree, model=cfg.model,
             mip_splatting=cfg.mip_splatting)
     with jax.named_scope("TileBinning"):
-        isect = build_intersections(proj, cfg.img_size, cfg.isect_cap)
+        isect = build_intersections(proj, cfg.img_size, cfg.isect_cap,
+                                    expand_k0=cfg.expand_k0,
+                                    chunk_cap=cfg.chunk_cap)
 
     n = means.shape[0]
     if refine_holder is None:
@@ -134,9 +150,10 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
             img = rasterize_pallas(
                 proj.mean2d, proj.conic, proj.color, proj.opac,
                 refine_holder, visible_holder,
-                isect.gid_from_isect, isect.isect_valid,
-                isect.tile_ranges, isect.surv_starts_g,
-                isect.surv_counts_g, bg, cfg.img_size)
+                isect.soa, isect.tile_ranges, isect.chunk_starts,
+                isect.num_chunks, isect.surv_starts_g,
+                isect.surv_counts_g, bg, cfg.img_size,
+                cfg.resolved_chunk_cap(n))
     else:
         img = rasterize(
             proj.mean2d, proj.conic, proj.color, proj.opac,
@@ -149,7 +166,7 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
                else jnp.zeros(n, jnp.float32))
     aux = RenderAux(
         num_visible=isect.num_visible,
-        num_isects=isect.num_isects_aligned,
+        num_isects=isect.num_isects,
         max_isects_per_tile=jnp.max(per_tile),
         visible=visible,
         max_radius=proj.max_radius,

@@ -200,5 +200,6 @@ def test_fullscreen_splat_stress(rng):
     assert np.isfinite(np.asarray(img)).all()
     # Covers every pixel with near-saturated alpha.
     assert float(jnp.min(img[..., 3])) > 0.9
-    # All 4x4 tiles hit (counts include per-tile alignment padding).
-    assert int(aux.num_isects) >= 16
+    # All 4x4 tiles hit: the one splat needs 16 slots, so the remainder
+    # expansion (slots past the first expand_k0) must hold the rest.
+    assert int(aux.num_isects) >= 16 - CFG.expand_k0
