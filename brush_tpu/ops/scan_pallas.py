@@ -106,3 +106,45 @@ def cummax_1d(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
                 if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
     padded, l = _pad_to_blk(x[None, :], identity)
     return scan_rows_pallas(padded, op="max", interpret=interpret)[0, :l]
+
+
+def _stack_kernel(*refs, n_rows: int, total_rows: int):
+    o_ref = refs[-1]
+    for j in range(n_rows):
+        o_ref[j, :] = refs[j][...]
+    if total_rows > n_rows:
+        o_ref[n_rows:, :] = jnp.zeros(
+            (total_rows - n_rows, o_ref.shape[1]), o_ref.dtype)
+
+
+def stack_rows(rows, total_rows: int, min_len: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """Stack 1-D f32 arrays into a [total_rows, >=min_len] matrix (rows past
+    len(rows) zeroed; lanes past each row's length unspecified garbage —
+    callers must mask by their own validity, as the rasterizer does).
+
+    XLA's stack of long 1-D arrays into a row-major matrix measures
+    ~5-10 GB/s at the 10-25M-lane scale (strided per-row writes); this
+    block-pipelined Pallas copy runs at HBM bandwidth. Output width is
+    min_len rounded up to the block size (returned as-is to avoid a
+    materializing slice).
+    """
+    import functools as _ft
+    n = len(rows)
+    l = rows[0].shape[0]
+    blocks = -(-min_len // BLK)
+    padded_len = blocks * BLK
+    if interpret or jax.default_backend() == "cpu":
+        m = jnp.zeros((total_rows, padded_len), jnp.float32)
+        return m.at[:n, :min(l, padded_len)].set(
+            jnp.stack(rows, axis=0)[:, :padded_len])
+    rows = [jnp.concatenate(
+        [r, jnp.zeros((padded_len - l,), jnp.float32)]) if l < padded_len
+        else r[:padded_len] for r in rows]
+    return pl.pallas_call(
+        _ft.partial(_stack_kernel, n_rows=n, total_rows=total_rows),
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec((BLK,), lambda i: (i,)) for _ in rows],
+        out_specs=pl.BlockSpec((total_rows, BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((total_rows, padded_len), jnp.float32),
+    )(*rows)

@@ -262,15 +262,15 @@ def build_intersections(
     gid_from_isect = sorted_ops[2]
     soa_rows = sorted_ops[3:]
 
-    # Assemble the kernel SoA in one stack (per-row lane pads first; a
-    # stack-then-concat chain measured ~100 ms at 9M from the extra full
-    # materializations).
-    pad = jnp.zeros((LANE_PAD,), jnp.float32)
-    zrow = jnp.zeros((s_cap + LANE_PAD,), jnp.float32)
-    rows16 = ([jnp.concatenate([r, pad]) for r in soa_rows]
-              + [jnp.concatenate([gid_from_isect.astype(jnp.float32), pad])]
-              + [zrow] * (SOA_ROWS - 10))
-    soa = jnp.stack(rows16, axis=0)
+    # Assemble the kernel SoA with the block-pipelined Pallas stack (XLA's
+    # own 1-D-rows -> matrix stack measured ~280 ms at 24M lanes); the tail
+    # past s_cap is unspecified garbage, which the kernels' span masks make
+    # inert, and the width rounds up past LANE_PAD so window DMAs stay
+    # in bounds.
+    from brush_tpu.ops.scan_pallas import stack_rows
+    soa = stack_rows(
+        list(soa_rows) + [gid_from_isect.astype(jnp.float32)],
+        SOA_ROWS, s_cap + LANE_PAD)
 
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),

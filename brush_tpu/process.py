@@ -189,13 +189,14 @@ def train_process(
 
     batched = pcfg.views_per_batch > 1
 
-    def get_step(img_size, has_alpha, alpha_is_mask, isect_cap):
-        key = (img_size, has_alpha, alpha_is_mask, isect_cap,
+    def get_step(img_size, has_alpha, alpha_is_mask, isect_cap, chunk_cap):
+        key = (img_size, has_alpha, alpha_is_mask, isect_cap, chunk_cap,
                state.splats.capacity)
         if key not in step_cache:
             rcfg = RenderConfig(
                 img_size=img_size, sh_degree=pcfg.sh_degree,
-                isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
+                isect_cap=isect_cap, chunk_cap=chunk_cap,
+                use_pallas=pcfg.use_pallas)
             n_dev = math.gcd(pcfg.views_per_batch, len(jax.devices()))
             if batched and n_dev > 1:
                 # Multi-chip: shard the view batch over a mesh of the
@@ -216,9 +217,12 @@ def train_process(
                     donate_argnums=0)
         return step_cache[key]
 
-    # Initial intersection capacity: grows on overflow (replaces the
-    # reference's exact-count readback, SURVEY.md §7).
+    # Initial intersection / gradient-chunk capacities: grow on overflow
+    # (replaces the reference's exact-count readback, SURVEY.md §7). The
+    # chunk capacity sizes the backward's per-chunk gradient buffer — kept
+    # tight because the reduce sort scales with it.
     isect_cap = 1 << 21
+    chunk_cap = 1 << 15
     t_start = time.perf_counter()
 
     it = pcfg.start_iter
@@ -247,7 +251,7 @@ def train_process(
                 gt_packed=jnp.asarray(view.gt_packed),
                 cam=camera_inputs(view.camera, view.img_size))
         step = get_step(view.img_size, view.has_alpha, alpha_is_mask,
-                        isect_cap)
+                        isect_cap, chunk_cap)
         state, stats, aux = step(state, batch)
         it += 1
 
@@ -272,6 +276,11 @@ def train_process(
             yield msg
             if n_isects > isect_cap:
                 isect_cap = _next_pow2(int(n_isects * 1.3))
+                step_cache.clear()
+            n_chunks = (int(aux.num_chunks)
+                        if aux.num_chunks is not None else 0)
+            if n_chunks > chunk_cap:
+                chunk_cap = _next_pow2(int(n_chunks * 1.3))
                 step_cache.clear()
 
         # Refine cadence: every refine_every until 95% progress
@@ -335,7 +344,8 @@ def train_process(
                               lcfg.max_resolution, subscale=2)
             score_rcfg = RenderConfig(
                 img_size=(w, h), sh_degree=pcfg.sh_degree,
-                isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
+                isect_cap=isect_cap, chunk_cap=chunk_cap,
+                use_pallas=pcfg.use_pallas)
             cams = [camera_inputs(v.camera, (w, h)) for v in score_views]
             scores = pup_scores(state.splats, cams, score_rcfg,
                                 jax.random.PRNGKey(level), n_probes=4)

@@ -77,6 +77,8 @@ class RenderAux:
     visible: jnp.ndarray            # [N] 1.0 where splat contributed
     max_radius: jnp.ndarray         # [N] screen-fraction radius
     final_t: jnp.ndarray | None = None
+    num_chunks: jnp.ndarray | None = None  # [] int32 — compare against
+    #   RenderConfig.chunk_cap (backward gradient capacity) for retry
 
 
 def camera_inputs(cam: Camera, img_size: Tuple[int, int]) -> CameraInputs:
@@ -170,6 +172,7 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
         max_isects_per_tile=jnp.max(per_tile),
         visible=visible,
         max_radius=proj.max_radius,
+        num_chunks=isect.num_chunks,
     )
     return img, aux, isect
 

@@ -211,6 +211,8 @@ def train_step_impl(
                 max_isects_per_tile=jnp.max(auxs.max_isects_per_tile),
                 visible=jnp.max(auxs.visible, axis=0),
                 max_radius=jnp.max(auxs.max_radius, axis=0),
+                num_chunks=(jnp.max(auxs.num_chunks)
+                            if auxs.num_chunks is not None else None),
             )
             return jnp.mean(losses), aux
         loss, aux = view_loss(params, refine_holder, visible_holder,
