@@ -38,8 +38,11 @@ def _setup(n_splats, img, sh_degree=3):
                  rotation=np.array([1.0, 0.0, 0.0, 0.0]),
                  fov_x=1.0, fov_y=1.0 * img[1] / img[0])
     splats = bench_splats(n_splats, sh_degree=sh_degree)
+    # The synthetic scene averages ~15 bbox tiles/splat: K0=16 keeps most
+    # slots on the dense expansion; remainder capacity scales with count.
     rcfg = RenderConfig(img_size=img, sh_degree=sh_degree,
-                        isect_cap=1 << 23, use_pallas=True)
+                        isect_cap=1 << min(24, max(22, n_splats.bit_length() + 3)),
+                        expand_k0=16, use_pallas=True)
     args = (splats.means, splats.log_scales, splats.quats,
             splats.sh_coeffs, splats.raw_opacities)
     return args, camera_inputs(cam, img), rcfg, jnp.zeros(3, jnp.float32)
@@ -143,7 +146,7 @@ def bench_train():
         batch = SceneBatch(gt_packed=jnp.asarray(gt),
                            cam=camera_inputs(cam, img))
         rcfg = RenderConfig(img_size=img, sh_degree=3, isect_cap=1 << 23,
-                            use_pallas=True)
+                            expand_k0=16, use_pallas=True)
         tcfg = TrainConfig()
         state = init_train_state(splats, jax.random.PRNGKey(0), 3.0)
         step = jax.jit(lambda s, b: train_step(s, b, tcfg, rcfg),
