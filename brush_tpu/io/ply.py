@@ -355,8 +355,10 @@ def save_splat_ply(f: BinaryIO | str, means, log_scales, quats, sh_coeffs,
     cols = [means]
     cols.append(sh[:, 0, :])                       # dc
     if n_rest:
-        # [n, n_rest, 3] -> channel-major [n, 3, n_rest] flat.
-        cols.append(sh[:, 1:, :].transpose(0, 2, 1).reshape(n, -1))
+        # [n, n_rest, 3] -> channel-major [n, 3, n_rest] flat. Explicit
+        # width: reshape(n, -1) can't infer from a zero-splat export.
+        cols.append(
+            sh[:, 1:, :].transpose(0, 2, 1).reshape(n, 3 * n_rest))
     cols.append(opac[:, None])
     cols.append(log_scales)
     cols.append(quats)

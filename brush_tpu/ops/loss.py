@@ -81,12 +81,17 @@ def _blur11(x: jnp.ndarray) -> jnp.ndarray:
     kh = jnp.broadcast_to(taps.reshape(1, 1, SSIM_WINDOW, 1), (c, 1, SSIM_WINDOW, 1))
     kw = jnp.broadcast_to(taps.reshape(1, 1, 1, SSIM_WINDOW), (c, 1, 1, SSIM_WINDOW))
     pad = SSIM_WINDOW // 2
+    # HIGHEST precision: TPU convs otherwise run bf16 on the MXU, which
+    # wrecks the x^2/xy moment differences (SSIM of identical images
+    # measured 0.55 instead of ~1.0 on v5e).
     y = jax.lax.conv_general_dilated(
         x[None], kh, (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     y = jax.lax.conv_general_dilated(
         y, kw, (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return y[0]
 
 

@@ -125,3 +125,24 @@ def test_stream_splat_ply_progressive(tmp_path):
     np.testing.assert_array_equal(chunks[-1].sh_coeffs, ref.sh_coeffs)
     # Prefix property: chunk k is a prefix of the full data.
     np.testing.assert_array_equal(chunks[0].means, ref.means[:300])
+
+
+def test_export_zero_splats_roundtrip(tmp_path):
+    """A fully-pruned (empty) splat set exports a valid ply and reloads
+    (regression: reshape(0, -1) can't infer width)."""
+    import io as _io
+
+    from brush_tpu.io.ply import load_splat_ply, save_splat_ply
+
+    buf = _io.BytesIO()
+    save_splat_ply(buf,
+                   np.zeros((0, 3), np.float32),
+                   np.zeros((0, 3), np.float32),
+                   np.zeros((0, 4), np.float32),
+                   np.zeros((0, 16, 3), np.float32),
+                   np.zeros((0,), np.float32))
+    buf.seek(0)
+    tmp = tmp_path / "empty.ply"
+    tmp.write_bytes(buf.read())
+    data = load_splat_ply(str(tmp))
+    assert data.num_splats == 0
