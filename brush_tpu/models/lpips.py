@@ -40,9 +40,13 @@ class LpipsModel:
         for b, (ch, n_convs) in enumerate(_VGG_BLOCKS):
             for i in range(n_convs):
                 p = self.params[f"conv_{b}_{i}"]
+                # HIGHEST precision: TPU convs default to bf16 on the MXU,
+                # which breaks the PyTorch-parity tolerance (ops/loss.py's
+                # SSIM blur hit the same trap).
                 h = jax.lax.conv_general_dilated(
                     h, p["w"], (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=jax.lax.Precision.HIGHEST)
                 h = jax.nn.relu(h + p["b"])
             taps.append(h)
             if b < len(_VGG_BLOCKS) - 1:
@@ -63,7 +67,8 @@ class LpipsModel:
             w = self.params[f"lin_{b}"]["w"]
             val = jax.lax.conv_general_dilated(
                 diff, w, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
             total = total + jnp.mean(val, axis=(1, 2, 3))
         return jnp.sum(total) if total.shape == () else jnp.mean(total)
 
