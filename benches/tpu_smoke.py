@@ -1,0 +1,175 @@
+"""Scripted on-TPU smoke gate (~2 min warm): catches the bf16/Mosaic class
+of regressions that CPU CI cannot see (e.g. the round-1 SSIM bf16-conv and
+zero-splat export bugs were both TPU-only).
+
+Checks, on whatever backend is default (the real chip when run plainly):
+  1. Golden gsplat parity (tiny+basic fixtures) through BOTH the jnp oracle
+     and the production Pallas path (atol 1e-5 / rtol 1%,
+     brush-bench-test/src/reference.rs:44-53).
+  2. SSIM(x, x) ~= 1 (guards MXU/oneDNN precision of the blur convs).
+  3. Pallas forward AND parameter gradients vs the jnp oracle on a
+     synthetic scene.
+  4. Five production train_steps: finite, decreasing loss, no overflow.
+
+Run: python benches/tpu_smoke.py   (exit 0 = pass). ~40 s warm-cache.
+"""
+import pathlib
+import sys
+import time
+
+import numpy as np
+import jax
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache'
+                  if jax.default_backend() != 'cpu'
+                  else '/root/repo/.jax_cache_cpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+import jax.numpy as jnp
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    tag = "PASS" if ok else "FAIL"
+    print(f"[{tag}] {name} {detail}")
+    if not ok:
+        FAILED.append(name)
+
+
+def golden_cases():
+    from safetensors.numpy import load_file
+    from brush_tpu.camera import Camera
+    from brush_tpu.render import RenderConfig, camera_inputs, render
+
+    for name in ("tiny_case", "basic_case"):
+        d = load_file(REPO / "tests" / "data" / f"{name}.safetensors")
+        h, w = d["out_img"].shape[:2]
+        focal = (w / 2.0) / np.tan(np.pi / 4.0)
+        cam_host = Camera(position=np.array([0.123, 0.456, -8.0]),
+                          rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                          fov_x=np.pi / 2.0,
+                          fov_y=2.0 * np.arctan((h / 2.0) / focal))
+        cam = camera_inputs(cam_host, (w, h))
+        args = (jnp.asarray(d["means"]), jnp.asarray(d["scales"]),
+                jnp.asarray(d["quats"]), jnp.asarray(d["coeffs"]),
+                jnp.asarray(d["opacities"]))
+        for pallas in (False, True):
+            cfg = RenderConfig(img_size=(w, h), sh_degree=3,
+                               isect_cap=1 << 14, max_per_tile=32, chunk=32,
+                               use_pallas=pallas)
+            img_out, _ = jax.jit(
+                lambda *a, c=cfg: render(*a, cam, jnp.zeros(3), c))(*args)
+            diff = np.abs(np.asarray(img_out) - d["out_img"])
+            tol = 1e-5 + 1e-2 * np.abs(d["out_img"])
+            check(f"golden {name} {'pallas' if pallas else 'jnp'}",
+                  bool((diff <= tol).all()),
+                  f"maxdiff={diff.max():.2e}")
+
+
+def ssim_identity():
+    from brush_tpu.ops.loss import image_loss, pack_gt, ImageLossConfig
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.1, 0.9, (128, 128, 3)).astype(np.float32)
+    cfg = ImageLossConfig(l1_weight=0.0, ssim_weight=-1.0)
+    # loss = -SSIM => identical images give exactly -1.
+    val = float(jax.jit(lambda p, g: image_loss(p, g, cfg))(
+        jnp.asarray(img), jnp.asarray(pack_gt(img))))
+    check("SSIM(x,x)~=1", abs(val + 1.0) < 1e-3, f"-ssim={val:.6f}")
+
+
+def pallas_vs_oracle():
+    from brush_tpu.camera import Camera
+    from brush_tpu.render import RenderConfig, camera_inputs, render
+    from brush_tpu.train.splat_init import create_random_splats
+
+    rng = np.random.default_rng(3)
+    cam_host = Camera(position=np.array([0.0, 0.0, -5.0]),
+                      rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                      fov_x=1.0, fov_y=0.8)
+    s = create_random_splats(2000, [cam_host], rng, scene_scale_override=5.0,
+                             sh_degree=2)
+    img_size = (160, 112)
+    cam = camera_inputs(cam_host, img_size)
+    args = (s.means, s.log_scales, s.quats, s.sh_coeffs, s.raw_opacities)
+
+    outs = {}
+    for pallas in (False, True):
+        cfg = RenderConfig(img_size=img_size, sh_degree=2, isect_cap=1 << 15,
+                           max_per_tile=1024, chunk=32, use_pallas=pallas)
+
+        def loss_fn(*a, c=cfg):
+            img, _ = render(*a, cam, jnp.zeros(3), c)
+            return jnp.sum(img[..., :3] ** 2) * 1e-3
+
+        val, grads = jax.jit(jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4)))(*args)
+        img = jax.jit(lambda *a, c=cfg: render(*a, cam, jnp.zeros(3), c)[0]
+                      )(*args)
+        outs[pallas] = (np.asarray(img), [np.asarray(g) for g in grads])
+
+    # Per-pixel forward parity. The log-space MXU transmittance prefix
+    # drifts up to ~1e-4 relative near the 1e-4 transmittance cutoff over
+    # 256 deep lanes (see ADVICE r1 / rasterize_pallas.py docstring) — 2e-4
+    # is the honest on-chip bound; a real regression is orders above it.
+    vdiff = np.abs(outs[True][0] - outs[False][0]).max()
+    check("pallas fwd vs oracle", vdiff < 2e-4, f"px maxdiff={vdiff:.2e}")
+    gmax = max(np.abs(a - b).max()
+               for a, b in zip(outs[True][1], outs[False][1]))
+    ref = max(np.abs(b).max() for b in outs[False][1])
+    check("pallas grads vs oracle", gmax < 1e-3 * max(ref, 1.0),
+          f"maxdiff={gmax:.2e} (ref magnitude {ref:.2e})")
+
+
+def train_steps():
+    from brush_tpu.camera import Camera
+    from brush_tpu.ops.loss import pack_gt
+    from brush_tpu.render import RenderConfig, camera_inputs
+    from brush_tpu.train.config import TrainConfig
+    from brush_tpu.train.splat_init import create_random_splats
+    from brush_tpu.train.trainer import (SceneBatch, init_train_state,
+                                         train_step)
+
+    rng = np.random.default_rng(7)
+    img = (64, 64)
+    cam_host = Camera(position=np.array([0.0, 0.0, -4.0]),
+                      rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                      fov_x=0.9, fov_y=0.9)
+    s = create_random_splats(256, [cam_host], rng, scene_scale_override=6.0,
+                             sh_degree=0)
+    y, x = np.mgrid[0:img[1], 0:img[0]]
+    gt = np.stack([x / 64, y / 64, 0.5 * np.ones_like(x)], -1).astype(
+        np.float32)
+    batch = SceneBatch(gt_packed=jnp.asarray(pack_gt(gt)),
+                       cam=camera_inputs(cam_host, img))
+    rcfg = RenderConfig(img_size=img, sh_degree=0, isect_cap=1 << 13,
+                        use_pallas=True)
+    tcfg = TrainConfig(total_train_iters=100)
+    state = init_train_state(s, jax.random.PRNGKey(0), median_scale=3.0)
+    step = jax.jit(lambda st, b: train_step(st, b, tcfg, rcfg),
+                   donate_argnums=0)
+    losses = []
+    for _ in range(5):
+        state, stats, _ = step(state, batch)
+        losses.append(float(stats.loss))
+        assert not bool(stats.overflowed)
+    check("train 5 steps finite+down",
+          np.isfinite(losses).all() and losses[-1] < losses[0] + 1e-3,
+          f"losses={['%.4f' % l for l in losses]}")
+
+
+def main():
+    t0 = time.perf_counter()
+    print(f"backend: {jax.default_backend()} ({len(jax.devices())} device)")
+    golden_cases()
+    ssim_identity()
+    pallas_vs_oracle()
+    train_steps()
+    dt = time.perf_counter() - t0
+    print(f"{'SMOKE OK' if not FAILED else 'SMOKE FAILED'} "
+          f"({dt:.0f}s): {FAILED or 'all checks passed'}")
+    sys.exit(1 if FAILED else 0)
+
+
+main()

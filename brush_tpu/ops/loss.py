@@ -97,11 +97,16 @@ def _blur11(x: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.checkpoint, static_argnums=(2,))
 def _loss_map(pred: jnp.ndarray, gt_packed: jnp.ndarray,
-              cfg: ImageLossConfig) -> jnp.ndarray:
+              cfg: ImageLossConfig, bg_dyn=None) -> jnp.ndarray:
+    # Composite bg comes either from the static config or as a TRACED value
+    # (`bg_dyn`, the trainer's per-step noised background) — one
+    # implementation for both, so the numerically delicate SSIM pipeline
+    # exists exactly once.
     gt_rgb, gt_a = unpack_gt(gt_packed)
-    if cfg.composite_bg is not None:
-        gt_rgb = gt_rgb + (1.0 - gt_a[..., None]) * jnp.asarray(
-            cfg.composite_bg, jnp.float32)
+    bg = (jnp.asarray(cfg.composite_bg, jnp.float32)
+          if cfg.composite_bg is not None else bg_dyn)
+    if bg is not None:
+        gt_rgb = gt_rgb + (1.0 - gt_a[..., None]) * bg
 
     p = jnp.moveaxis(pred[..., :3], -1, 0)   # [3, H, W]
     g = jnp.moveaxis(gt_rgb, -1, 0)
@@ -135,15 +140,17 @@ def _loss_map(pred: jnp.ndarray, gt_packed: jnp.ndarray,
 
 
 def image_loss_map(pred: jnp.ndarray, gt_packed: jnp.ndarray,
-                   cfg: ImageLossConfig) -> jnp.ndarray:
-    """Per-pixel loss map [H, W, 3|4]; differentiable w.r.t. pred."""
-    return _loss_map(pred, gt_packed, cfg)
+                   cfg: ImageLossConfig, bg_dyn=None) -> jnp.ndarray:
+    """Per-pixel loss map [H, W, 3|4]; differentiable w.r.t. pred (and
+    bg_dyn, a traced composite background overriding cfg.composite_bg)."""
+    return _loss_map(pred, gt_packed, cfg, bg_dyn)
 
 
 def image_loss(pred: jnp.ndarray, gt_packed: jnp.ndarray,
-               cfg: ImageLossConfig, match_alpha_weight: float = 0.0) -> jnp.ndarray:
+               cfg: ImageLossConfig, match_alpha_weight: float = 0.0,
+               bg_dyn=None) -> jnp.ndarray:
     """Scalar training loss, combined like SplatTrainer::step (train.rs:235-241)."""
-    lmap = image_loss_map(pred, gt_packed, cfg)
+    lmap = image_loss_map(pred, gt_packed, cfg, bg_dyn)
     if cfg.alpha_match:
         return jnp.mean(lmap[..., :3]) + jnp.mean(lmap[..., 3]) * match_alpha_weight
     return jnp.mean(lmap)

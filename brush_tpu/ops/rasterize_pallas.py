@@ -22,10 +22,11 @@ spec/oracle), restructured for the TPU memory/compute model:
   `next_T <= 1e-4` (rasterize.rs:138) becomes a monotone prefix test plus a
   carried `done` mask, and a whole-tile early exit ends the chunk loop when
   every pixel saturates (the shared-memory done counter of rasterize.rs:90).
-* The backward writes per-chunk gradient blocks to a CHUNK-INDEXED buffer
-  [chunk_cap, 16, CK] — leading-axis DMA offsets are unconstrained, and
-  chunk rows are uniquely owned, so the stores are race-free without any
-  alignment (TPU has no atomics; the reference uses f32 atomic adds,
+* The backward writes per-chunk gradient blocks to a CHUNK-INDEXED
+  lane-major buffer [16, chunk_cap*CK] — chunk c's block occupies lanes
+  [c*CK, (c+1)*CK), a 256-multiple offset that satisfies Mosaic's 128-lane
+  DMA alignment for free, and chunk columns are uniquely owned, so the
+  stores are race-free (TPU has no atomics; the reference uses f32 atomic adds,
   rasterize_backwards.rs HfAtomicAdd). A gid key row rides in the block so
   the per-splat reduction is a stable sort by gid + one Pallas carry-scan
   cumsum + a boundary difference at analytically-known segment starts.
@@ -293,7 +294,7 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
                 tiles_ref,             # [1, 8, 256] fwd output block (VMEM)
                 vt_ref,                # [1, 8, 256] cotangent block (VMEM)
                 bg_ref,                # [1, 4] f32 SMEM
-                grads_ref,             # [chunk_cap, 16, CK] f32 ANY (output)
+                grads_ref,             # [16, chunk_cap*CK] f32 ANY (output)
                 buf, sem, obuf, osem,  # scratch
                 *, img_w: int, img_h: int, n_splats: int, chunk_cap: int):
     t = pl.program_id(0)
@@ -524,23 +525,28 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         def _():
             out_dma((nchunks - 1) % 2, nchunks - 1).wait()
 
-    # The fill loop's first in_dma(c_fin) was prefetched by the compute
-    # phase only when the while loop ran to completion; when it early-exits
-    # (all pixels saturated before nuseful) the prefetch for c_fin is in
-    # flight from the last compute iteration and the fill loop's own
-    # in_dma(c_fin).wait() consumes it. Nothing further to drain here.
+    # The compute while-loop always runs to exactly c_fin == nuseful (its
+    # cond tests only c < nuseful — saturation shrinks nuseful via the
+    # forward's useful_len, not via an early exit here). The prefetch for
+    # chunk c_fin issued by iteration c_fin-1 (or the initial start when
+    # nuseful == 0) is consumed by the fill loop's own in_dma(c_fin).wait(),
+    # so nothing further needs draining here.
 
 
 @functools.partial(jax.jit,
                    static_argnames=("img_size", "chunk_cap", "interpret"))
 def rasterize_backward_pallas(soa, tile_ranges, chunk_starts, tiles, v_tiles,
                               bg, img_size, chunk_cap, interpret=False):
-    """Per-chunk gradient blocks [chunk_cap, 16, CK] from image cotangents."""
+    """Per-chunk gradient blocks, lane-major [16, chunk_cap*CK], from image
+    cotangents (chunk c's block = lanes [c*CK, (c+1)*CK))."""
     img_w, img_h = img_size
     tbw = -(-img_w // TILE_WIDTH)
     tbh = -(-img_h // TILE_WIDTH)
     n_tiles = tbw * tbh
-    n_splats_key = soa.shape[1]  # placeholder; real key bound passed below
+    # Sentinel gid for out-of-span lanes in the kernel's key row. Any value
+    # strictly greater than every real gid works (the reduce clips keys to
+    # [0, n] and drops the n bucket); the SoA width is a convenient bound.
+    n_splats_key = soa.shape[1]
 
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1)]).reshape(1, 4)
 

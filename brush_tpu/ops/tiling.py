@@ -207,7 +207,8 @@ def build_intersections(
         proj.tile_min[:, 1].astype(jnp.float32),
         jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1
                     ).astype(jnp.float32),
-    ], axis=0)                                             # [14, N]
+        counts.astype(jnp.float32),                        # bbox slot count
+    ], axis=0)                                             # [15, N]
 
     def tile_of(vals, local, in_range):
         """Tile id for bbox-local slot indices `local` described by
@@ -235,10 +236,15 @@ def build_intersections(
     rem_needed = rem_cum[-1].astype(jnp.int32)
     rem_starts = (rem_cum - rem_counts).astype(jnp.int32)
     owner = _owner_from_starts(rem_starts, rem_counts > 0, n, rem_cap)
-    vals_r = table[:, owner]                               # [14, R]
+    vals_r = table[:, owner]                               # [15, R]
     rem_slots = jnp.arange(rem_cap, dtype=jnp.int32)
     local_r = k0 + (rem_slots - rem_starts[owner])
-    rem_in = rem_slots < rem_needed
+    # On remainder-capacity overflow the owner markers of splats whose start
+    # falls past rem_cap are dropped, so trailing slots inherit the last
+    # fitting owner with out-of-bbox local indices — the per-owner bound
+    # masks those phantom slots to the sentinel tile (the host retry loop is
+    # the recovery path; this keeps the truncated state non-corrupting).
+    rem_in = (rem_slots < rem_needed) & (local_r < vals_r[14].astype(jnp.int32))
     tile_id_r = tile_of(vals_r, local_r, rem_in)
     rank_r = jax.lax.bitcast_convert_type(vals_r[10], jnp.int32)
     gid_r = vals_r[9].astype(jnp.int32)
@@ -283,11 +289,16 @@ def build_intersections(
     num_chunks = ccum[-1].astype(jnp.int32)
     chunk_starts = (ccum - nchunks).astype(jnp.int32)
 
-    # Every in-bbox slot reaches the sorted ranges (no pre-filter), so the
-    # per-splat surviving-slot counts for the backward's sorted-order
-    # segment reduce are just the bbox counts.
-    gcum = _cumsum_flat(counts)
-    surv_starts_g = (gcum - counts).astype(jnp.int32)
+    # Per-splat surviving-slot counts for the backward's sorted-order
+    # segment reduce: every in-bbox slot reaches the sorted ranges (no
+    # pre-filter), EXCEPT remainder slots truncated by rem_cap overflow —
+    # count only actually-emitted slots so gradient segments stay aligned
+    # even while the host retry loop is catching up.
+    emitted = (jnp.minimum(counts, k0)
+               + jnp.minimum(rem_counts, jnp.clip(rem_cap - rem_starts,
+                                                  0, None)))
+    gcum = _cumsum_flat(emitted)
+    surv_starts_g = (gcum - emitted).astype(jnp.int32)
 
     return Intersections(
         perm=jnp.arange(n, dtype=jnp.int32),
@@ -300,5 +311,5 @@ def build_intersections(
         chunk_starts=chunk_starts,
         num_chunks=num_chunks,
         surv_starts_g=surv_starts_g,
-        surv_counts_g=counts,
+        surv_counts_g=emitted.astype(jnp.int32),
     )

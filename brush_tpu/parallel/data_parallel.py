@@ -53,7 +53,7 @@ def stack_batches(batches: list[SceneBatch]) -> SceneBatch:
 
 def make_dp_train_step(mesh: Mesh, tcfg: TrainConfig, rcfg: RenderConfig,
                        has_alpha: bool = False, alpha_is_mask: bool = False,
-                       donate: bool = True):
+                       donate: bool = True, lpips_model=None):
     """jit a batched train step with dp shardings over the given mesh.
 
     The returned function takes (TrainState, SceneBatch-with-leading-[B]) and
@@ -67,7 +67,7 @@ def make_dp_train_step(mesh: Mesh, tcfg: TrainConfig, rcfg: RenderConfig,
     def step(state: TrainState, batch: SceneBatch):
         return train_step_impl(state, batch, tcfg, rcfg,
                                has_alpha=has_alpha, alpha_is_mask=alpha_is_mask,
-                               batched=True)
+                               batched=True, lpips_model=lpips_model)
 
     return jax.jit(
         step,

@@ -55,6 +55,8 @@ class ProcessConfig:
     views_per_batch: int = 1             # >1: batched multi-view steps (loss
                                          # = mean over views; with a multi-
                                          # chip mesh this is the dp axis)
+    init_isect_cap: int = 1 << 21        # starting capacities; grown on
+    init_chunk_cap: int = 1 << 15        # overflow (tests set these tiny)
 
 
 @dataclasses.dataclass
@@ -206,7 +208,8 @@ def train_process(
                     make_dp_train_step, view_mesh)
                 step_cache[key] = make_dp_train_step(
                     view_mesh(jax.devices()[:n_dev]), tcfg, rcfg,
-                    has_alpha=has_alpha, alpha_is_mask=alpha_is_mask)
+                    has_alpha=has_alpha, alpha_is_mask=alpha_is_mask,
+                    lpips_model=lpips_model)
             else:
                 from brush_tpu.train.trainer import train_step_impl
                 step_cache[key] = jax.jit(
@@ -221,12 +224,14 @@ def train_process(
     # (replaces the reference's exact-count readback, SURVEY.md §7). The
     # chunk capacity sizes the backward's per-chunk gradient buffer — kept
     # tight because the reduce sort scales with it.
-    isect_cap = 1 << 21
-    chunk_cap = 1 << 15
+    isect_cap = pcfg.init_isect_cap
+    chunk_cap = pcfg.init_chunk_cap
     t_start = time.perf_counter()
 
     it = pcfg.start_iter
     alpha_is_mask = lcfg.alpha_mode == AlphaMode.MASKED
+    prev_aux = None   # (iter, aux) of the previous step, checked one step
+    #   behind so the host-side int() reads never stall the dispatch pipeline
     while it < tcfg.total_train_iters:
         view = next(loader)
         if batched:
@@ -255,6 +260,34 @@ def train_process(
         state, stats, aux = step(state, batch)
         it += 1
 
+        # Per-step overflow safety: an overflowing step is a device-side
+        # NO-OP (trainer gate — no truncated gradient is ever applied);
+        # checked here EVERY step, one step delayed, so detection costs no
+        # pipeline stall. On overflow grow capacities and recompile; the
+        # one or two no-op steps in the detection window are lost views,
+        # not corrupt updates.
+        if prev_aux is not None:
+            p_it, p_aux = prev_aux
+            p_isects = int(p_aux.num_isects)
+            p_chunks = (int(p_aux.num_chunks)
+                        if p_aux.num_chunks is not None else 0)
+            grew = False
+            if p_isects > isect_cap:
+                isect_cap = _next_pow2(int(p_isects * 1.3))
+                grew = True
+            if p_chunks > chunk_cap:
+                chunk_cap = _next_pow2(int(p_chunks * 1.3))
+                grew = True
+            if grew:
+                step_cache.clear()
+                msg = TrainMessage("overflow", p_it, dict(
+                    isects=p_isects, chunks=p_chunks,
+                    isect_cap=isect_cap, chunk_cap=chunk_cap))
+                if on_message:
+                    on_message(msg)
+                yield msg
+        prev_aux = (it, aux)
+
         if it % pcfg.log_every == 0 or it == tcfg.total_train_iters:
             n_isects = int(aux.num_isects)
             msg = TrainMessage("step", it, dict(
@@ -274,14 +307,6 @@ def train_process(
             if slot is not None:
                 slot.set(0, state.splats)
             yield msg
-            if n_isects > isect_cap:
-                isect_cap = _next_pow2(int(n_isects * 1.3))
-                step_cache.clear()
-            n_chunks = (int(aux.num_chunks)
-                        if aux.num_chunks is not None else 0)
-            if n_chunks > chunk_cap:
-                chunk_cap = _next_pow2(int(n_chunks * 1.3))
-                step_cache.clear()
 
         # Refine cadence: every refine_every until 95% progress
         # (train_stream.rs:321-327).

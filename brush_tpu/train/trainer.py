@@ -82,6 +82,12 @@ class TrainStepStats(NamedTuple):
     loss: jnp.ndarray
     num_visible: jnp.ndarray
     lr_mean: jnp.ndarray
+    # [] bool: intersection/chunk capacity overflowed this step. The step is
+    # then a device-side NO-OP (params/moments/refine kept) so a truncated
+    # gradient can never be applied — the host grows caps and recompiles
+    # (the reference instead sizes buffers exactly every step with a GPU->CPU
+    # readback, render.rs:146-167).
+    overflowed: jnp.ndarray = None
 
 
 def init_train_state(splats: Splats, rng: jnp.ndarray,
@@ -185,12 +191,14 @@ def train_step_impl(
             cam, bg, rcfg, refine_holder, visible_holder)
         pred = img if do_alpha_match else img[..., :3]
         # Compositing folds gt + (1-a)*bg inside the loss (train.rs:215-218);
-        # bg is traced, so the composite goes through image_loss_dyn.
+        # bg is traced, so it goes through image_loss's bg_dyn argument
+        # (single SSIM implementation, ops/loss.py).
         lcfg = ImageLossConfig(
             l1_weight=l1_w, ssim_weight=ssim_w, composite_bg=None,
             mask=alpha_is_mask, alpha_match=do_alpha_match)
-        loss = image_loss_dyn(pred, gt_packed, bg if composite else None,
-                              lcfg, tcfg.match_alpha_weight)
+        from brush_tpu.ops.loss import image_loss
+        loss = image_loss(pred, gt_packed, lcfg, tcfg.match_alpha_weight,
+                          bg_dyn=bg if composite else None)
         if lpips_model is not None and tcfg.lpips_loss_weight > 0.0:
             # Optional perceptual term (train.rs:246-253; weight 0 default).
             from brush_tpu.ops.loss import unpack_gt_rgb
@@ -264,52 +272,25 @@ def train_step_impl(
 
     refine = state.refine.gather_stats(refine_weight, visible, aux.max_radius)
 
+    # Capacity-overflow no-op gate: an overflowing step truncates slots (the
+    # binning masks them to the sentinel, ops/tiling.py), losing their
+    # gradients — never apply such an update. step/rng still advance so the
+    # run keeps moving while the host grows capacities.
+    overflowed = aux.num_isects > rcfg.isect_cap
+    if aux.num_chunks is not None:
+        overflowed = overflowed | (
+            aux.num_chunks > rcfg.resolved_chunk_cap(splats.capacity))
+
+    def _gate(new, old):
+        return jax.tree.map(lambda a, b: jnp.where(overflowed, b, a), new, old)
+
     new_state = state.replace(
-        splats=new_splats, opt=opt, refine=refine,
+        splats=_gate(new_splats, state.splats),
+        opt=_gate(opt, state.opt),
+        refine=_gate(refine, state.refine),
         step=state.step + 1, rng=rng)
     stats = TrainStepStats(loss=loss, num_visible=aux.num_visible,
-                           lr_mean=lr_mean)
+                           lr_mean=lr_mean, overflowed=overflowed)
     return new_state, stats, aux
 
 
-def image_loss_dyn(pred, gt_packed, bg_dyn, cfg: ImageLossConfig,
-                   match_alpha_weight: float):
-    """image_loss with a *traced* composite bg (the static ImageLossConfig
-    can't carry a tracer)."""
-    from brush_tpu.ops import loss as loss_mod
-
-    gt_rgb, gt_a = loss_mod.unpack_gt(gt_packed)
-    if bg_dyn is not None:
-        gt_rgb = gt_rgb + (1.0 - gt_a[..., None]) * bg_dyn
-    lmap = _loss_map_from_rgb(pred, gt_rgb, gt_a, cfg)
-    if cfg.alpha_match:
-        return (jnp.mean(lmap[..., :3])
-                + jnp.mean(lmap[..., 3]) * match_alpha_weight)
-    return jnp.mean(lmap)
-
-
-def _loss_map_from_rgb(pred, gt_rgb, gt_a, cfg: ImageLossConfig):
-    from brush_tpu.ops import loss as loss_mod
-
-    p = jnp.moveaxis(pred[..., :3], -1, 0)
-    g = jnp.moveaxis(gt_rgb, -1, 0)
-    moments = jnp.concatenate([p, p * p, g, g * g, p * g], axis=0)
-    b = loss_mod._blur11(moments)
-    mu1, m11, mu2, m22, m12 = b[0:3], b[3:6], b[6:9], b[9:12], b[12:15]
-    sigma1_sq = jnp.maximum(0.0, m11 - mu1 * mu1)
-    sigma2_sq = jnp.maximum(0.0, m22 - mu2 * mu2)
-    sigma12 = m12 - mu1 * mu2
-    from brush_tpu.constants import SSIM_C1, SSIM_C2
-    a_t = mu1 * mu1 + mu2 * mu2 + SSIM_C1
-    b_t = sigma1_sq + sigma2_sq + SSIM_C2
-    c_t = 2.0 * mu1 * mu2 + SSIM_C1
-    d_t = 2.0 * sigma12 + SSIM_C2
-    ssim = jnp.clip((c_t * d_t) / (a_t * b_t), -1.0, 1.0)
-    loss = cfg.l1_weight * jnp.abs(p - g) + cfg.ssim_weight * ssim
-    loss = jnp.moveaxis(loss, 0, -1)
-    if cfg.alpha_match:
-        loss = jnp.concatenate(
-            [loss, jnp.abs(pred[..., 3] - gt_a)[..., None]], axis=-1)
-    if cfg.mask:
-        loss = loss * gt_a[..., None]
-    return loss

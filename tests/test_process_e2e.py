@@ -84,6 +84,45 @@ def test_compressed_export_path(tmp_path):
     assert raw < d.num_splats * 4 * 17
 
 
+def test_overflow_detected_at_non_log_step(tmp_path):
+    """Capacity overflow must be detected EVERY step (not just at log
+    cadence): start with a 1-chunk gradient capacity, observe the 'overflow'
+    message at a step that is not a log step, and see training continue with
+    grown caps."""
+    write_colmap_bin(tmp_path / "scene", n_views=2, w=32, h=32)
+    # The synthetic colmap cameras sit at z=+4 looking +z; drop an init.ply
+    # of big splats at z=8 in front of them so every view hits all 4 tiles
+    # (num_chunks 4 > init_chunk_cap 1 => guaranteed overflow).
+    from brush_tpu.io import ply as ply_io
+    from brush_tpu.models import splats as spl
+    big = spl.from_raw(
+        means=np.array([[0, 0, 8], [0.2, 0.1, 8], [-0.2, -0.1, 8]],
+                       np.float32),
+        log_scales=np.full((3, 3), np.log(1.5), np.float32),
+        quats=np.tile(np.array([1, 0, 0, 0], np.float32), (3, 1)),
+        sh_coeffs=np.full((3, 1, 3), 0.5, np.float32),
+        raw_opacities=np.full((3,), 2.0, np.float32))
+    (tmp_path / "scene" / "init.ply").write_bytes(
+        ply_io.splats_to_ply_bytes(big))
+
+    tcfg = TrainConfig(total_train_iters=6, refine_every=1000)
+    lcfg = LoadConfig(max_resolution=32)
+    pcfg = ProcessConfig(eval_every=0, export_every=0, log_every=5,
+                         export_path=str(tmp_path / "o_{iter}.ply"),
+                         init_count=0, sh_degree=1, use_pallas=False,
+                         init_isect_cap=1, init_chunk_cap=1)
+    msgs = list(train_process(str(tmp_path / "scene"), tcfg, lcfg, pcfg))
+
+    overflows = [m for m in msgs if m.kind == "overflow"]
+    assert overflows, "tiny caps did not trigger an overflow message"
+    assert any(m.iter % pcfg.log_every != 0 for m in overflows), \
+        "overflow only surfaced at log cadence"
+    assert all(m.data["chunk_cap"] > 1 or m.data["isect_cap"] > 1
+               for m in overflows)
+    steps = [m for m in msgs if m.kind == "step"]
+    assert steps and all(np.isfinite(m.data["loss"]) for m in steps)
+
+
 def test_batched_views_process(tmp_path):
     """views_per_batch > 1: batched multi-view steps through the public
     loop (sharded over the 8 virtual devices via the dp mesh)."""

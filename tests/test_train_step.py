@@ -57,6 +57,46 @@ def test_train_step_reduces_loss():
     assert float(jnp.max(state.refine.refine_weight)) > 0
 
 
+def test_train_step_overflow_is_noop():
+    """A step whose intersections overflow the capacity must not touch
+    params/moments/refine (device-side no-op gate) — truncated gradients are
+    never applied. The reference instead re-sizes buffers exactly every step
+    (render.rs:146-167); we detect-and-skip."""
+    splats, batch, _ = make_setup()
+    # Blow up the splat scales so every splat covers many tiles: with
+    # expand_k0=1 nearly every bbox slot rides the remainder path, which a
+    # tiny isect_cap then overflows.
+    splats = splats.replace(log_scales=jnp.full_like(splats.log_scales, 0.3))
+    tcfg = TrainConfig(total_train_iters=100)
+    state = init_train_state(splats, jax.random.PRNGKey(2), median_scale=3.0)
+
+    rcfg_tiny = RenderConfig(img_size=IMG, sh_degree=0, isect_cap=32,
+                             expand_k0=1, max_per_tile=512, chunk=32)
+    step = jax.jit(lambda s, b: train_step(s, b, tcfg, rcfg_tiny))
+    state2, stats, aux = step(state, batch)
+
+    assert int(aux.num_isects) > 32, "setup failed to overflow"
+    assert bool(stats.overflowed)
+    np.testing.assert_array_equal(np.asarray(state2.splats.means),
+                                  np.asarray(state.splats.means))
+    np.testing.assert_array_equal(
+        np.asarray(state2.opt["means"].moment1),
+        np.asarray(state.opt["means"].moment1))
+    np.testing.assert_array_equal(np.asarray(state2.refine.visible_count),
+                                  np.asarray(state.refine.visible_count))
+    # step/rng still advance so the run keeps moving.
+    assert int(state2.step) == 1
+
+    # Same scene with ample capacity: not flagged, params move.
+    rcfg_big = RenderConfig(img_size=IMG, sh_degree=0, isect_cap=1 << 13,
+                            max_per_tile=512, chunk=32)
+    step2 = jax.jit(lambda s, b: train_step(s, b, tcfg, rcfg_big))
+    state3, stats3, _ = step2(state, batch)
+    assert not bool(stats3.overflowed)
+    assert np.any(np.asarray(state3.splats.means)
+                  != np.asarray(state.splats.means))
+
+
 def test_train_step_donation_compatible():
     """The step must be jittable with donated state (in-place splat buffers)."""
     splats, batch, _ = make_setup()
