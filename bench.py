@@ -35,17 +35,20 @@ def main():
     cam = Camera(position=np.array([0.0, 0.0, -18.0]),
                  rotation=np.array([1.0, 0.0, 0.0, 0.0]),
                  fov_x=1.0, fov_y=0.62)
-    splats = bench_splats(n_splats, sh_degree=3)
+    # sh_degree=0 matches the reference bench exactly: gen_splats ends in
+    # .with_sh_degree(0) (brush-bench-test/src/benches.rs:100).
+    splats = bench_splats(n_splats, sh_degree=0)
 
-    # The bench scene's splats average ~14.6 bbox tiles each (dense bodies
-    # fill the frustum), so most slots ride the dense expansion at K0=16 and
-    # the remainder capacity below is verified non-overflowing — the timed
-    # render processes the FULL intersection workload.
-    rcfg = RenderConfig(img_size=img, sh_degree=3,
-                        isect_cap=1 << (16 if smoke else 23),
-                        expand_k0=4 if smoke else 16,
-                        use_pallas=True)
+    # Capacity auto-planning (ops/capacity.py) sizes the slot space from the
+    # scene's true intersection counts; the assert below verifies the timed
+    # render processes the FULL workload with zero truncation.
+    from brush_tpu.ops.capacity import plan_caps
     cam_in = camera_inputs(cam, img)
+    k0, rem_cap = plan_caps(splats.means, splats.log_scales, splats.quats,
+                            splats.raw_opacities, cam_in, img)
+    rcfg = RenderConfig(img_size=img, sh_degree=0,
+                        isect_cap=rem_cap, expand_k0=k0,
+                        use_pallas=True)
     bg = jnp.zeros(3, jnp.float32)
 
     @jax.jit

@@ -6,9 +6,17 @@ parity tests can be traced back. Collected in one module per SURVEY.md §7
 ("collect them into one constants module").
 """
 
-# --- Tiling (brush-render/src/kernels/helpers.rs:14-15) ---
-TILE_WIDTH = 16
-TILE_SIZE = TILE_WIDTH * TILE_WIDTH  # 256 pixels per tile
+# --- Tiling ---
+# The reference uses 16x16 tiles (brush-render/src/kernels/helpers.rs:14-15),
+# sized for a GPU workgroup. On TPU the tile size trades sort volume against
+# rasterizer pair work: intersections scale ~(bbox/tw + 1)^2 while per-slot
+# kernel work scales ~tw^2, and the measured v5e cost model (sort ~1 ns per
+# element per operand vs ~11 ps per pixel-splat pair) puts the optimum at
+# 32x32 — it cuts the dominant tile-sort volume ~2.4x on bench scenes for a
+# modest kernel-cost increase. Behavior (blend order, alpha math) is
+# tile-size independent; only performance changes.
+TILE_WIDTH = 32
+TILE_SIZE = TILE_WIDTH * TILE_WIDTH  # 1024 pixels per tile
 
 # --- Alpha cutoff (helpers.rs:22-23) ---
 # Hard cutoff in production; the smooth C^1 band exists only for

@@ -62,8 +62,10 @@ from brush_tpu.constants import (
 )
 from brush_tpu.ops.tiling import CK, SOA_ROWS
 
-TILE_PIX = TILE_WIDTH * TILE_WIDTH  # 256
+TILE_PIX = TILE_WIDTH * TILE_WIDTH  # 1024
 W = CK + 128                        # DMA window: chunk + roll slack
+QPIX = 256                          # backward pixel sub-block (VMEM budget)
+Q_SUB = TILE_PIX // QPIX
 
 
 def _lane_iota(n_rows, n_lanes):
@@ -389,93 +391,119 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
 
         data = _window(buf[slot], r)
 
-        done_in = t_acc_signed < 0.0
-        t_acc = jnp.abs(t_acc_signed)
-
         in_span = lane_ids < (span - c * CK)
-
-        dx = px - data[0:1, :]
-        dy = py - data[1:2, :]
         c00 = data[2:3, :]
         c01 = data[3:4, :]
         c11 = data[4:5, :]
         opa = data[5:6, :]
-        sigma = 0.5 * (c00 * dx * dx + c11 * dy * dy) + c01 * dx * dy
-        gauss = jnp.exp(-sigma)
-        og = opa * gauss
-        alpha = jnp.minimum(ALPHA_CAP, og)
-        gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID) & in_span
-        a = jnp.where(gate, alpha, 0.0)
-
-        one_minus = 1.0 - a
-        cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
-        s_excl = t_acc * cp_excl
-        s_incl = s_excl * one_minus
-        blended = (s_incl > TRANSMITTANCE_EPS) & ~done_in
-        w = jnp.where(blended, a * s_excl, 0.0)
-
         cmax = jnp.maximum(data[6:9, :], 0.0)              # [3, CK]
-        # v_w[p, k] = cmax_k . v_rgb_p
-        v_w = jax.lax.dot_general(
-            v_rgb, cmax, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)            # [256, CK]
 
-        g_contrib = w * v_w                                # [256, CK]
-        prefix_incl = _prefix_mxu(g_contrib, tri_incl)
-        r_after = r_rem - prefix_incl                      # [256, CK]
+        # The 32x32 tile's pixels are processed as Q sequential sub-blocks
+        # of QPIX=256: one [1024, CK] block needs ~26 MB of live VMEM
+        # intermediates (over the 16 MB budget); the per-intersection
+        # gradient rows are sums over pixels, so sub-blocks just accumulate.
+        zero_lane = jnp.zeros((1, CK), jnp.float32)
+        g_xy_x = g_xy_y = g_c00 = g_c01 = g_c11 = g_opa = zero_lane
+        g_col0 = g_col1 = g_col2 = refine = w_total = zero_lane
+        t_new_qs = []
+        r_rem_qs = []
+        for q in range(Q_SUB):
+            sl = slice(q * QPIX, (q + 1) * QPIX)
+            done_in = t_acc_signed[sl] < 0.0
+            t_acc = jnp.abs(t_acc_signed[sl])
+            r_rem_q = r_rem[sl]
 
-        ra = 1.0 / one_minus
-        msk = blended & (a > 0.0)
-        v_alpha = jnp.where(
-            msk, s_excl * v_w - (r_after + t_fin * f_t) * ra, 0.0)
+            dx = px[sl] - data[0:1, :]
+            dy = py[sl] - data[1:2, :]
+            sigma = 0.5 * (c00 * dx * dx + c11 * dy * dy) + c01 * dx * dy
+            gauss = jnp.exp(-sigma)
+            og = opa * gauss
+            alpha = jnp.minimum(ALPHA_CAP, og)
+            gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID) & in_span
+            a = jnp.where(gate, alpha, 0.0)
 
-        unsat = og <= SATURATED_ALPHA_GRAD_CUTOFF
-        mu = msk & unsat
-        v_sigma = jnp.where(mu, -og * v_alpha, 0.0)
-        gxy_x = -v_sigma * (c00 * dx + c01 * dy)           # [256, CK]
-        gxy_y = -v_sigma * (c01 * dx + c11 * dy)
+            one_minus = 1.0 - a
+            cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
+            s_excl = t_acc * cp_excl
+            s_incl = s_excl * one_minus
+            blended = (s_incl > TRANSMITTANCE_EPS) & ~done_in
+            w = jnp.where(blended, a * s_excl, 0.0)
 
-        # Per-intersection reductions over the tile's pixels.
-        g_xy_x = jnp.sum(gxy_x, axis=0, keepdims=True)     # [1, CK]
-        g_xy_y = jnp.sum(gxy_y, axis=0, keepdims=True)
-        g_c00 = jnp.sum(0.5 * v_sigma * dx * dx, axis=0, keepdims=True)
-        g_c01 = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
-        g_c11 = jnp.sum(0.5 * v_sigma * dy * dy, axis=0, keepdims=True)
-        g_opa = jnp.sum(jnp.where(mu, gauss * v_alpha, 0.0),
-                        axis=0, keepdims=True)
+            # v_w[p, k] = cmax_k . v_rgb_p
+            v_w = jax.lax.dot_general(
+                v_rgb[sl], cmax, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # [QPIX, CK]
 
-        # v_color[c, k] = sum_p w[p,k] v_rgb[p,c], gated by color > 0
-        # (the blend uses max(color, 0), rasterize.rs:145-147).
-        v_col = jax.lax.dot_general(
-            v_rgb, w, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)            # [3, CK]
-        v_col = jnp.where(data[6:9, :] > 0.0, v_col, 0.0)
+            g_contrib = w * v_w                            # [QPIX, CK]
+            prefix_incl = _prefix_mxu(g_contrib, tri_incl)
+            r_after = r_rem_q - prefix_incl                # [QPIX, CK]
 
-        refine = jnp.sum(
-            jnp.sqrt((gxy_x * img_w) ** 2 + (gxy_y * img_h) ** 2)
-            * inv_final_a, axis=0, keepdims=True)          # [1, CK]
-        w_total = jnp.sum(w, axis=0, keepdims=True)        # [1, CK]
+            ra = 1.0 / one_minus
+            msk = blended & (a > 0.0)
+            v_alpha = jnp.where(
+                msk, s_excl * v_w - (r_after + t_fin[sl] * f_t[sl]) * ra,
+                0.0)
 
-        zeros_like_lane = jnp.zeros((1, CK), jnp.float32)
+            unsat = og <= SATURATED_ALPHA_GRAD_CUTOFF
+            mu = msk & unsat
+            v_sigma = jnp.where(mu, -og * v_alpha, 0.0)
+            gxy_x = -v_sigma * (c00 * dx + c01 * dy)       # [QPIX, CK]
+            gxy_y = -v_sigma * (c01 * dx + c11 * dy)
+
+            # Per-intersection reductions over this sub-block's pixels.
+            gq_x = jnp.sum(gxy_x, axis=0, keepdims=True)   # [1, CK]
+            gq_y = jnp.sum(gxy_y, axis=0, keepdims=True)
+            g_xy_x = g_xy_x + gq_x
+            g_xy_y = g_xy_y + gq_y
+            g_c00 = g_c00 + jnp.sum(0.5 * v_sigma * dx * dx, axis=0,
+                                    keepdims=True)
+            g_c01 = g_c01 + jnp.sum(v_sigma * dx * dy, axis=0,
+                                    keepdims=True)
+            g_c11 = g_c11 + jnp.sum(0.5 * v_sigma * dy * dy, axis=0,
+                                    keepdims=True)
+            g_opa = g_opa + jnp.sum(jnp.where(mu, gauss * v_alpha, 0.0),
+                                    axis=0, keepdims=True)
+
+            # v_color[c, k] = sum_p w[p,k] v_rgb[p,c], gated by color > 0
+            # (the blend uses max(color, 0), rasterize.rs:145-147).
+            v_col = jax.lax.dot_general(
+                v_rgb[sl], w, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # [3, CK]
+            g_col0 = g_col0 + v_col[0:1]
+            g_col1 = g_col1 + v_col[1:2]
+            g_col2 = g_col2 + v_col[2:3]
+
+            refine = refine + jnp.sum(
+                jnp.sqrt((gxy_x * img_w) ** 2 + (gxy_y * img_h) ** 2)
+                * inv_final_a[sl], axis=0, keepdims=True)  # [1, CK]
+            w_total = w_total + jnp.sum(w, axis=0, keepdims=True)
+
+            # Forward replay state update for this sub-block.
+            t_new = jnp.min(jnp.where(blended, s_incl, t_acc), axis=1,
+                            keepdims=True)
+            crossed = jnp.any((s_incl <= TRANSMITTANCE_EPS) & ~done_in,
+                              axis=1, keepdims=True)
+            t_new_qs.append(jnp.where(done_in | crossed, -t_new, t_new))
+            r_rem_qs.append(r_rem_q - prefix_incl[:, CK - 1:CK])
+
+        g_col0 = jnp.where(data[6:7, :] > 0.0, g_col0, 0.0)
+        g_col1 = jnp.where(data[7:8, :] > 0.0, g_col1, 0.0)
+        g_col2 = jnp.where(data[8:9, :] > 0.0, g_col2, 0.0)
+
         rows = [
             g_xy_x, g_xy_y, g_c00, g_c01, g_c11, g_opa,
-            v_col[0:1], v_col[1:2], v_col[2:3],
+            g_col0, g_col1, g_col2,
             refine, w_total, key_row(data, c),
         ]
         grad_chunk = jnp.concatenate(
-            rows + [zeros_like_lane] * (SOA_ROWS - len(rows)), axis=0)
+            rows + [zero_lane] * (SOA_ROWS - len(rows)), axis=0)
         obuf[slot] = grad_chunk
         out_dma(slot, c).start()
 
-        # Forward replay state update.
-        t_new = jnp.min(jnp.where(blended, s_incl, t_acc), axis=1,
-                        keepdims=True)
-        crossed = jnp.any((s_incl <= TRANSMITTANCE_EPS) & ~done_in,
-                          axis=1, keepdims=True)
-        t_signed_new = jnp.where(done_in | crossed, -t_new, t_new)
-        r_rem_new = r_rem - prefix_incl[:, CK - 1:CK]
+        t_signed_new = jnp.concatenate(t_new_qs, axis=0)
+        r_rem_new = jnp.concatenate(r_rem_qs, axis=0)
         return (c + 1, t_signed_new, r_rem_new)
 
     init = (jnp.asarray(0, jnp.int32),
@@ -643,12 +671,16 @@ def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n):
     csp = jnp.concatenate([jnp.zeros((11, 1), cs.dtype), cs], axis=1)
     # Segments are contiguous in global order (starts are an exclusive
     # cumsum), so segment ends are the next segment's starts: ONE gather at
-    # N+1 boundaries + a shifted difference, not two N-sized gathers —
-    # boundary gathers are the reduce's dominant cost (~21 ns/index).
+    # N+1 boundaries + a shifted difference, not two N-sized gathers.
+    # Gather ROWS of the transposed cumsum: XLA's minor-dim (column) gather
+    # on [11, L] runs at the ~24 ns/index random rate even for sorted
+    # indices, while a row gather on [L+1, 11] with ascending indices hits
+    # the ~7 ns semi-sorted path — the transpose relayout is bandwidth-cheap
+    # by comparison (measured ~60 ms -> ~25 ms at 2M splats).
     ends = surv_starts_g[-1:] + surv_counts_g[-1:]
     bpos = jnp.clip(jnp.concatenate([surv_starts_g, ends]), 0, l)
-    b = csp[:, bpos]                                       # [11, N+1]
-    return (b[:, 1:] - b[:, :-1]).T                        # [N, 11] global
+    b = csp.T[bpos]                                        # [N+1, 11]
+    return b[1:] - b[:-1]                                  # [N, 11] global
 
 
 def _use_interpret():

@@ -108,6 +108,62 @@ def cummax_1d(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return scan_rows_pallas(padded, op="max", interpret=interpret)[0, :l]
 
 
+def _fill_kernel(x_ref, v_ref, o_ref, carry_x, carry_v):
+    """Segmented fill: o[r, j] = x[r, k] for the largest k <= j with
+    valid[k]; lanes with no valid predecessor keep the carry init (zeros).
+    The combine ((vl, xl), (vr, xr)) -> (vl|vr, vr ? xr : xl) is
+    associative, so the Hillis-Steele ladder + a block carry is a valid
+    inclusive scan. Selects/rolls are bit-preserving moves, so rows holding
+    raw bit patterns (e.g. bitcast depth keys) survive exactly."""
+    i = pl.program_id(0)
+    rows = x_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        carry_x[...] = jnp.zeros((rows, 1), x_ref.dtype)
+        carry_v[...] = jnp.zeros((1, 1), jnp.int32)
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1)
+    y = x_ref[...]
+    v = v_ref[...]                           # [1, BLK] int32 0/1
+    shift = 1
+    while shift < y.shape[1]:
+        sy = pltpu.roll(y, shift, 1)
+        sv = jnp.where(ids >= shift, pltpu.roll(v, shift, 1), 0)
+        y = jnp.where(v > 0, y, sy)
+        v = v | sv
+        shift *= 2
+    y = jnp.where(v > 0, y, carry_x[...])
+    o_ref[...] = y
+    carry_x[...] = y[:, -1:]
+    carry_v[...] = v[:, -1:] | carry_v[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fill_rows(x: jnp.ndarray, valid: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """Carry fill along axis 1 of [R, L]: each lane takes the row values of
+    the nearest valid lane at or before it (zeros before the first valid
+    lane). `valid` is [L] int32/bool. One HBM pass — the TPU replacement
+    for per-index owner gathers (~13 ns/index at 4M+ slots, measured)."""
+    r, l = x.shape
+    xp, _ = _pad_to_blk(x, 0)
+    vp, _ = _pad_to_blk(valid.astype(jnp.int32)[None, :], 0)
+    grid = xp.shape[1] // BLK
+    out = pl.pallas_call(
+        _fill_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((r, BLK), lambda i: (0, i)),
+                  pl.BlockSpec((1, BLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((r, BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((r, xp.shape[1]), x.dtype),
+        scratch_shapes=[pltpu.VMEM((r, 1), x.dtype),
+                        pltpu.VMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(xp, vp)
+    return out[:, :l]
+
+
 def _stack_kernel(*refs, n_rows: int, total_rows: int):
     o_ref = refs[-1]
     for j in range(n_rows):

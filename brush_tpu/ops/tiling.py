@@ -147,16 +147,6 @@ def _cummax_flat(x):
     return x
 
 
-def _owner_from_starts(starts, nonempty, n, cap):
-    """owner[slot] = compact index of the splat whose [start, start+count)
-    block contains the slot: scatter (i+1) markers at non-empty starts, then
-    an inclusive max-scan. Replaces searchsorted (slot-many binary-search
-    gathers are ~50x slower on TPU)."""
-    idx = jnp.where(nonempty, starts, cap)
-    marks = jnp.zeros((cap,), jnp.int32).at[idx].max(
-        jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")
-    owner = _cummax_flat(marks) - 1
-    return jnp.clip(owner, 0, n - 1)
 
 
 def build_intersections(
@@ -235,24 +225,49 @@ def build_intersections(
     rem_cum = _cumsum_flat(rem_counts)
     rem_needed = rem_cum[-1].astype(jnp.int32)
     rem_starts = (rem_cum - rem_counts).astype(jnp.int32)
-    owner = _owner_from_starts(rem_starts, rem_counts > 0, n, rem_cap)
-    vals_r = table[:, owner]                               # [15, R]
     rem_slots = jnp.arange(rem_cap, dtype=jnp.int32)
-    local_r = k0 + (rem_slots - rem_starts[owner])
-    # On remainder-capacity overflow the owner markers of splats whose start
-    # falls past rem_cap are dropped, so trailing slots inherit the last
-    # fitting owner with out-of-bbox local indices — the per-owner bound
-    # masks those phantom slots to the sentinel tile (the host retry loop is
-    # the recovery path; this keeps the truncated state non-corrupting).
+    if jax.default_backend() == "cpu":
+        # Test path: owner lookup by binary search + gather (fine on CPU).
+        owner = jnp.clip(jnp.searchsorted(
+            rem_starts, rem_slots, side="right").astype(jnp.int32) - 1,
+            0, n - 1)
+        vals_r = table[:, owner]                           # [15, R]
+        start_r = rem_starts[owner]
+        start_r = jnp.where(rem_counts[owner] > 0, start_r, rem_cap)
+    else:
+        # TPU path: windowed one-hot MXU broadcast (ops/expand_pallas.py).
+        # Start indices ride as 12-bit limb rows so they stay exact past
+        # 2^24 (30M-slot stress regime); attribute rows are plain f32
+        # values and transport exactly through the one-hot matmul.
+        from brush_tpu.ops.expand_pallas import expand_segments
+        tbl17 = jnp.concatenate([
+            table,
+            (rem_starts % 4096).astype(jnp.float32)[None],
+            (rem_starts // 4096).astype(jnp.float32)[None],
+        ], axis=0)
+        filled = expand_segments(tbl17, rem_starts, rem_counts, rem_cap)
+        vals_r = filled[:15]                               # [15, R]
+        start_r = (filled[15].astype(jnp.int32)
+                   + filled[16].astype(jnp.int32) * 4096)
+    local_r = k0 + (rem_slots - start_r)
+    # On remainder-capacity overflow the start markers of splats past
+    # rem_cap are dropped, so trailing slots inherit the last fitting owner
+    # with out-of-bbox local indices — the per-owner bound masks those
+    # phantom slots to the sentinel tile (the host retry loop is the
+    # recovery path; this keeps the truncated state non-corrupting).
     rem_in = (rem_slots < rem_needed) & (local_r < vals_r[14].astype(jnp.int32))
     tile_id_r = tile_of(vals_r, local_r, rem_in)
     rank_r = jax.lax.bitcast_convert_type(vals_r[10], jnp.int32)
     gid_r = vals_r[9].astype(jnp.int32)
 
-    # --- concat + sort by (tile, depth bits, gid) ---
-    # gid as the third key both tie-breaks equal depths deterministically
-    # (the reference's stable radix does the same implicitly) and doubles as
-    # the SoA gid row on the way out.
+    # --- concat + sort by (tile, depth bits) ---
+    # gid rides as the first PAYLOAD, not a third key: a 3rd key costs extra
+    # comparator work in every sorting-network stage (~10% of the whole
+    # sort, measured), and ties in (tile, depth_bits) require bitwise-equal
+    # depths — XLA's sorting network is a fixed program, so even those
+    # resolve deterministically (run-to-run identical; the reference's
+    # stable radix additionally pins tie order to gid, which only matters
+    # for bitwise-duplicate depths).
     tile_id = jnp.concatenate([tile_id_d.reshape(-1), tile_id_r])
     rank = jnp.concatenate([rank_d.reshape(-1), rank_r])
     gid_all = jnp.concatenate([gid_d.reshape(-1), gid_r])
@@ -263,7 +278,7 @@ def build_intersections(
         ]) for r in range(9)                               # xy,conic,opac,rgb
     ]
     sorted_ops = jax.lax.sort(
-        (tile_id, rank, gid_all, *payload), num_keys=3, is_stable=False)
+        (tile_id, rank, gid_all, *payload), num_keys=2, is_stable=False)
     tile_sorted = sorted_ops[0]
     gid_from_isect = sorted_ops[2]
     soa_rows = sorted_ops[3:]

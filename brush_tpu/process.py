@@ -357,6 +357,11 @@ def train_process(
     _export_splats(path, state.splats)
     yield TrainMessage("export", it, dict(path=path, final=True))
 
+    if telem:
+        from brush_tpu.utils.report import write_report
+        rpath = write_report(telem.dir)
+        yield TrainMessage("report", it, dict(path=str(rpath)))
+
     # --- LOD baking phases (train_stream.rs:220-291, lod.rs) ---
     if tcfg.lod_levels > 0:
         from brush_tpu.train.lod import decimate_to_count, pup_scores

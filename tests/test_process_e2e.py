@@ -89,16 +89,19 @@ def test_overflow_detected_at_non_log_step(tmp_path):
     cadence): start with a 1-chunk gradient capacity, observe the 'overflow'
     message at a step that is not a log step, and see training continue with
     grown caps."""
-    write_colmap_bin(tmp_path / "scene", n_views=2, w=32, h=32)
+    from brush_tpu.constants import TILE_WIDTH
+    dim = 3 * TILE_WIDTH  # 3x3 tile grid regardless of tile size
+    write_colmap_bin(tmp_path / "scene", n_views=2, w=dim, h=dim)
     # The synthetic colmap cameras sit at z=+4 looking +z; drop an init.ply
-    # of big splats at z=8 in front of them so every view hits all 4 tiles
-    # (num_chunks 4 > init_chunk_cap 1 => guaranteed overflow).
+    # of big splats at z=8 in front of them so every view hits all 9 tiles
+    # (num_chunks 9 > init_chunk_cap 1 and remainder slots past expand_k0
+    # > init_isect_cap 1 => guaranteed overflow).
     from brush_tpu.io import ply as ply_io
     from brush_tpu.models import splats as spl
     big = spl.from_raw(
         means=np.array([[0, 0, 8], [0.2, 0.1, 8], [-0.2, -0.1, 8]],
                        np.float32),
-        log_scales=np.full((3, 3), np.log(1.5), np.float32),
+        log_scales=np.full((3, 3), np.log(4.0), np.float32),
         quats=np.tile(np.array([1, 0, 0, 0], np.float32), (3, 1)),
         sh_coeffs=np.full((3, 1, 3), 0.5, np.float32),
         raw_opacities=np.full((3,), 2.0, np.float32))
@@ -106,7 +109,7 @@ def test_overflow_detected_at_non_log_step(tmp_path):
         ply_io.splats_to_ply_bytes(big))
 
     tcfg = TrainConfig(total_train_iters=6, refine_every=1000)
-    lcfg = LoadConfig(max_resolution=32)
+    lcfg = LoadConfig(max_resolution=dim)
     pcfg = ProcessConfig(eval_every=0, export_every=0, log_every=5,
                          export_path=str(tmp_path / "o_{iter}.ply"),
                          init_count=0, sh_degree=1, use_pallas=False,

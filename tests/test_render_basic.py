@@ -200,6 +200,9 @@ def test_fullscreen_splat_stress(rng):
     assert np.isfinite(np.asarray(img)).all()
     # Covers every pixel with near-saturated alpha.
     assert float(jnp.min(img[..., 3])) > 0.9
-    # All 4x4 tiles hit: the one splat needs 16 slots, so the remainder
-    # expansion (slots past the first expand_k0) must hold the rest.
-    assert int(aux.num_isects) >= 16 - CFG.expand_k0
+    # All tiles hit: the one splat needs a slot per tile of the image, so
+    # the remainder expansion (slots past the first expand_k0) holds the rest.
+    from brush_tpu.constants import TILE_WIDTH
+    n_tiles = (-(-CFG.img_size[0] // TILE_WIDTH)
+               * (-(-CFG.img_size[1] // TILE_WIDTH)))
+    assert int(aux.num_isects) >= n_tiles - CFG.expand_k0

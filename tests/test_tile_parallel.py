@@ -47,8 +47,10 @@ def test_strip_inputs_shapes():
     cam = Camera(position=np.array([0.0, 0.0, -5.0]),
                  rotation=np.array([1.0, 0.0, 0.0, 0.0]),
                  fov_x=0.9, fov_y=0.9)
-    stack, h_strip = strip_camera_inputs(cam, (64, 64), 4)
-    assert h_strip == 16
+    from brush_tpu.constants import TILE_WIDTH
+    img_dim = 4 * TILE_WIDTH  # one tile row per strip
+    stack, h_strip = strip_camera_inputs(cam, (img_dim, img_dim), 4)
+    assert h_strip == TILE_WIDTH
     assert stack.pinhole.shape == (4, 4)
     # cy walks down by one strip height per strip.
     cys = np.asarray(stack.pinhole)[:, 3]
