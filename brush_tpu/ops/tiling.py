@@ -54,7 +54,6 @@ LANE_PAD = CK + 128  # soa tail padding so window reads never run off the end
 
 
 class Intersections(NamedTuple):
-    perm: jnp.ndarray          # [N] depth-sorted order: compact -> global gid
     num_visible: jnp.ndarray   # [] int32
     num_isects: jnp.ndarray    # [] int32 REMAINDER slots needed — the
     #   overflow predicate is num_isects > isect_cap (dense slots never
@@ -316,7 +315,6 @@ def build_intersections(
     surv_starts_g = (gcum - emitted).astype(jnp.int32)
 
     return Intersections(
-        perm=jnp.arange(n, dtype=jnp.int32),
         num_visible=num_visible,
         num_isects=rem_needed,
         num_isects_aligned=(num_chunks * CK).astype(jnp.int32),

@@ -244,6 +244,14 @@ def train_process(
                 tries += 1
                 if v.img_size == view.img_size and v.has_alpha == view.has_alpha:
                     views.append(v)
+            if len(views) < pcfg.views_per_batch:
+                # Padding by repetition biases the mean-loss gradient toward
+                # the repeated view — surface it instead of silently padding.
+                yield TrainMessage("warning", it, dict(
+                    message=f"batch padded by repeating a view "
+                            f"({len(views)}/{pcfg.views_per_batch} distinct;"
+                            f" mixed image sizes in dataset?) — the mean-"
+                            f"loss gradient is biased toward the repeat"))
             while len(views) < pcfg.views_per_batch:
                 views.append(views[0])  # pad by repeating (rare)
             from brush_tpu.parallel.data_parallel import stack_batches
