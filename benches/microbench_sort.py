@@ -1,9 +1,9 @@
-"""Microbenchmark: lax.sort / gather / scatter variants on the real TPU.
+"""Microbenchmark: lax.sort / gather variants on the real TPU.
 
 Round-3 scouting for the tile-sort redesign (VERDICT r2 item #1): the
-92 ms 12-operand sort is the frame. Measures how sort cost scales with
-element count, operand count, key count, stability, and what the
-alternatives (gather-rebuild, histogram) would cost.
+~92 ms 12-operand sort is the frame. Chained-dependency timing (the axon
+tunnel makes naive block_until_ready timing lie); every sort output is
+consumed so XLA cannot DCE payloads.
 """
 
 import time
@@ -15,90 +15,107 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+RESULTS = {}
 
 
-def timeit(fn, *args, iters=5, _name=[None]):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def chain_time(fn, x0, iters=3, label=""):
+    x = fn(x0)
+    _ = float(jax.tree_util.tree_leaves(x)[0].ravel()[0:1].sum())
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
-
-
-class PrintDict(dict):
-    def __setitem__(self, k, v):
-        print(f"{k:40s} {v:9.3f} ms", flush=True)
-        super().__setitem__(k, v)
+        x = fn(x)
+    _ = float(jax.tree_util.tree_leaves(x)[0].ravel()[0:1].sum())
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{label:44s} {dt:9.3f} ms", flush=True)
+    RESULTS[label] = dt
+    return dt
 
 
 def main():
     rng = np.random.default_rng(0)
-    results = PrintDict()
     NT = 2040  # 60x34 tiles @1080p/32px
+    only = sys.argv[1:] or None
 
-    for n in (1_400_000, 5_600_000):
-        tile = jnp.asarray(rng.integers(0, NT, n, dtype=np.int32))
-        depth = jnp.asarray(rng.integers(0, 1 << 30, n, dtype=np.int32))
-        pays = [jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(10)]
-        tag = f"n{n//1000}k"
+    def want(label):
+        return only is None or any(o in label for o in only)
 
-        # 2 keys + varying payload count
-        for np_ in (0, 1, 4, 10):
-            f = jax.jit(lambda t, d, *p: jax.lax.sort(
-                (t, d, *p), num_keys=2, is_stable=False))
-            results[f"sort_{tag}_2k_{np_}p"] = timeit(f, tile, depth, *pays[:np_])
+    f0 = jax.jit(lambda x: x + 1)
+    chain_time(f0, jnp.zeros((8, 128), jnp.int32), iters=10,
+               label="dispatch_floor")
 
-        # 1 key (packed) + 10 payloads
-        packed = (tile << 20) | (depth >> 10)
-        f1 = jax.jit(lambda k, *p: jax.lax.sort(
-            (k, *p), num_keys=1, is_stable=False))
-        results[f"sort_{tag}_1k_10p"] = timeit(f1, packed, *pays)
-        results[f"sort_{tag}_1k_1p"] = timeit(f1, packed, pays[0])
-
-        # stable vs not, 1 key 10 payloads
-        fs = jax.jit(lambda k, *p: jax.lax.sort(
-            (k, *p), num_keys=1, is_stable=True))
-        results[f"sort_{tag}_1k_10p_stable"] = timeit(fs, packed, *pays)
-
-        # f32 payloads vs i32 keys all-f32?  bf16 payloads:
-        pays_bf = [p.astype(jnp.bfloat16) for p in pays]
-        results[f"sort_{tag}_1k_10p_bf16"] = timeit(f1, packed, *pays_bf)
-
-        # gather rebuild: table [1M, 16] f32, n random indices (tile-grouped)
-        table = jnp.asarray(rng.random((1_000_000, 16), dtype=np.float32))
-        idx_sorted_by_tile = jnp.asarray(
-            rng.integers(0, 1_000_000, n, dtype=np.int32))
-        g = jax.jit(lambda t, i: t[i])
-        results[f"gather_{tag}_16rows"] = timeit(g, table, idx_sorted_by_tile)
-        g1 = jax.jit(lambda t, i: t[i, 0])
-        results[f"gather_{tag}_1row"] = timeit(g1, table, idx_sorted_by_tile)
-
-        # histogram of tile ids (for counting-sort feasibility)
-        h = jax.jit(lambda t: jnp.zeros(NT, jnp.int32).at[t].add(1))
-        results[f"scatter_hist_{tag}"] = timeit(h, tile)
-
-        # segment boundaries via searchsorted on sorted tiles
-        tile_s = jnp.sort(tile)
-        ss = jax.jit(lambda ts: jnp.searchsorted(
-            ts, jnp.arange(NT + 1, dtype=jnp.int32)))
-        results[f"searchsorted_{tag}"] = timeit(ss, tile_s)
-
-    # small sort: splat-level depth sort 1M x {2, 17} operands
-    n = 1_000_000
+    n = 5_600_000
+    tile = jnp.asarray(rng.integers(0, NT, n, dtype=np.int32))
     depth = jnp.asarray(rng.integers(0, 1 << 30, n, dtype=np.int32))
-    gid = jnp.arange(n, dtype=jnp.int32)
-    rows = [jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(15)]
-    f = jax.jit(lambda d, g: jax.lax.sort((d, g), num_keys=1, is_stable=False))
-    results["sort_1000k_1k_1p"] = timeit(f, depth, gid)
-    f = jax.jit(lambda d, *p: jax.lax.sort((d, *p), num_keys=1, is_stable=False))
-    results["sort_1000k_1k_16p"] = timeit(f, depth, gid, *rows)
+    pays = [jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(10)]
 
-    for k, v in sorted(results.items()):
-        print(f"{k:40s} {v:9.3f} ms", flush=True)
+    def consume(outs):
+        r = outs[0]
+        for p in outs[1:]:
+            r = r + p[0].astype(r.dtype)
+        return r
+
+    for np_ in (0, 1, 10):
+        label = f"sort_5600k_2k_{np_}p"
+        if not want(label):
+            continue
+        def f(t, d=depth, ps=tuple(pays[:np_])):
+            return consume(jax.lax.sort((t, d, *ps), num_keys=2,
+                                        is_stable=False))
+        chain_time(jax.jit(f), tile, label=label)
+
+    if want("sort_5600k_1k_10p"):
+        packed = (tile << 20) | (depth >> 12)
+        def f1(k, ps=tuple(pays[:10])):
+            return consume(jax.lax.sort((k, *ps), num_keys=1,
+                                        is_stable=False))
+        chain_time(jax.jit(f1), packed, label="sort_5600k_1k_10p")
+
+    # splat-table depth sort at 1M: key + 15 payload rows
+    if want("sort_1000k_1k_15p"):
+        d1 = jnp.asarray(rng.integers(0, 1 << 30, 1_000_000, dtype=np.int32))
+        rows1 = [jnp.asarray(rng.random(1_000_000, dtype=np.float32))
+                 for _ in range(15)]
+        def fd(d, ps=tuple(rows1)):
+            return consume(jax.lax.sort((d, *ps), num_keys=1,
+                                        is_stable=False))
+        chain_time(jax.jit(fd), d1, label="sort_1000k_1k_15p")
+    if want("sort_1000k_1k_1p"):
+        d1 = jnp.asarray(rng.integers(0, 1 << 30, 1_000_000, dtype=np.int32))
+        g1_ = jnp.arange(1_000_000, dtype=jnp.int32)
+        def fd1(d, g=g1_):
+            return consume(jax.lax.sort((d, g), num_keys=1, is_stable=False))
+        chain_time(jax.jit(fd1), d1, label="sort_1000k_1k_1p")
+
+    # gathers: [1M, 16] table, 5.6M indices
+    table = jnp.asarray(rng.random((1_000_000, 16), dtype=np.float32))
+    idx_rand_np = rng.integers(0, 1_000_000, n)
+    idx_piece = jnp.asarray(np.sort(idx_rand_np.reshape(2000, -1), axis=1)
+                            .reshape(-1).astype(np.int32))
+    idx_rand = jnp.asarray(idx_rand_np.astype(np.int32))
+
+    def chain_idx(fn, i0, label):
+        def wrap(i):
+            out, i2 = fn(i)
+            return jnp.abs(i2) + (out.ravel()[0] > 2.0).astype(jnp.int32)
+        return chain_time(jax.jit(wrap), i0, label=label)
+
+    def g16(i, t=table):
+        return t[i], i
+    if want("gather_5600k_16rows_piecewise"):
+        chain_idx(g16, idx_piece, "gather_5600k_16rows_piecewise")
+    if want("gather_5600k_16rows_rand"):
+        chain_idx(g16, idx_rand, "gather_5600k_16rows_rand")
+
+    if want("transpose_5600k_16"):
+        big = jnp.asarray(rng.random((n, 16), dtype=np.float32))
+        def tr(b):
+            return b.T.reshape(n, 16)
+        chain_time(jax.jit(tr), big, label="transpose_5600k_16")
+
     with open("/tmp/microbench_sort.json", "w") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(RESULTS, fh, indent=1)
 
 
 if __name__ == "__main__":
