@@ -7,9 +7,9 @@ TPU pipeline is one statically-shaped jit program, so capacities are compile
 a cheap jitted counting pass (projection geometry only, no SH) and picks
 
   * ``expand_k0``  — the dense per-splat expansion width, minimizing the
-    measured per-slot cost model: a dense slot costs one sort visit
-    (~12 ns at 12 operands), a remainder slot additionally pays the
-    owner-lookup gather (~7 ns/index, semi-sorted);
+    measured per-slot cost model: every slot (dense or remainder) costs one
+    sort visit (~11 ns at 12 operands), and each remainder-capacity slot
+    additionally pays the windowed one-hot expansion (~3.5 ns);
   * ``isect_cap``  — the remainder slot capacity, rounded up to a coarse
     {2^k, 1.5*2^k} grid so recompiles stay rare while padding waste is
     bounded by ~1.26x.
@@ -24,9 +24,12 @@ import functools
 
 import numpy as np
 
-# Relative per-slot costs from the v5e measurements (memory: tpu-perf-facts).
-_SORT_NS_PER_SLOT = 12.0     # 12-operand sort, ~1 ns/elem/operand
-_GATHER_NS_PER_REM = 7.0     # semi-sorted per-index gather
+# Relative per-slot costs, v5e round-3 measurements (benches/microbench_*):
+# lax.sort moves ~0.9 ns/elem/operand (x12 operands), and the windowed
+# one-hot expansion kernel costs ~3.5 ns per REMAINDER-CAPACITY slot
+# (blocks scale with the cap, not the live count).
+_SORT_NS_PER_SLOT = 11.0
+_EXPAND_NS_PER_CAP = 3.5
 
 _K0_CANDIDATES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 
@@ -91,7 +94,7 @@ def plan_caps(
     for k0, rem in zip(_K0_CANDIDATES, rems):
         cap = round_cap(int(rem * margin))
         cost = (_SORT_NS_PER_SLOT * (n * k0 + cap)
-                + _GATHER_NS_PER_REM * int(rem))
+                + _EXPAND_NS_PER_CAP * cap)
         if cost < best_cost:
             best_k0, best_cost, best_cap = k0, cost, cap
     return best_k0, best_cap

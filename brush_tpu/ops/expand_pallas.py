@@ -49,12 +49,13 @@ W = 256         # owner-window width (gids per DMA)
 def _expand_kernel(lo_ref,               # scalar-prefetch [n_blocks+1] i32
                    table_ref,            # [rows_pad, n_pad] f32 ANY
                    out_ref,              # [rows_pad, BLKS] VMEM block
-                   tbuf, sem,
+                   tbuf, sem,            # [2, rows_pad, W] VMEM, DMA sems (2,)
                    *, rows_pad: int, r_slo: int, r_shi: int, r_cnt: int):
     b = pl.program_id(0)
     lo = lo_ref[b]
     hi = lo_ref[b + 1]
     w0 = (lo // 128) * 128
+    n_win = (hi - w0) // W + 1
 
     slot0 = b * BLKS
     slots = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, BLKS), 1)
@@ -70,20 +71,48 @@ def _expand_kernel(lo_ref,               # scalar-prefetch [n_blocks+1] i32
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
-    def dma(w):
-        off = pl.multiple_of(w, 128)
+    def dot_onehot(vals, onehot_f32):
+        """vals [R, W] f32 @ onehot [W, B] {0,1} -> [R, B] f32, EXACT, as
+        three bf16 MXU passes (half of HIGHEST's bf16_6x; Mosaic has no
+        Precision.HIGH). Split v = hi + mid + lo where each part is
+        bf16-exact (8 mantissa bits each covers f32's 24); the one-hot is
+        exact in bf16 (0.0/1.0), each partial product is exact in the f32
+        accumulator, and exactly one column term is nonzero."""
+        hi = vals.astype(jnp.bfloat16)
+        rem = vals - hi.astype(jnp.float32)
+        mid = rem.astype(jnp.bfloat16)
+        lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh = onehot_f32.astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        out = jax.lax.dot_general(hi, oh, dims,
+                                  preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(mid, oh, dims,
+                                   preferred_element_type=jnp.float32)
+        out += jax.lax.dot_general(lo, oh, dims,
+                                   preferred_element_type=jnp.float32)
+        return out
+
+    def dma(slot, k):
+        off = pl.multiple_of(w0 + k * W, 128)
         return pltpu.make_async_copy(
-            table_ref.at[:, pl.ds(off, W)], tbuf, sem)
+            table_ref.at[:, pl.ds(off, W)], tbuf.at[slot], sem.at[slot])
+
+    dma(0, 0).start()
 
     def cond(carry):
-        w, _ = carry
-        return w <= hi
+        k, _ = carry
+        return k < n_win
 
     def body(carry):
-        w, acc = carry
-        dma(w).start()
-        dma(w).wait()
-        win = tbuf[...]                                  # [rows_pad, W]
+        k, acc = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < n_win)
+        def _():
+            dma(1 - slot, k + 1).start()
+        dma(slot, k).wait()
+
+        win = tbuf[slot]                                 # [rows_pad, W]
         sc = (to_col(win[r_slo:r_slo + 1]).astype(jnp.int32)
               + to_col(win[r_shi:r_shi + 1]).astype(jnp.int32) * 4096)
         rc = to_col(win[r_cnt:r_cnt + 1]).astype(jnp.int32)
@@ -92,14 +121,12 @@ def _expand_kernel(lo_ref,               # scalar-prefetch [n_blocks+1] i32
         # membership is false for them naturally; windows are disjoint.
         onehot = ((sc <= slots) & (slots < sc + rc)
                   ).astype(jnp.float32)                  # [W, BLKS]
-        acc = acc + jax.lax.dot_general(
-            win, onehot, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        return (w + W, acc)
+        acc = acc + dot_onehot(win, onehot)
+        return (k + 1, acc)
 
     _, acc = jax.lax.while_loop(
-        cond, body, (w0, jnp.zeros((rows_pad, BLKS), jnp.float32)))
+        cond, body, (jnp.asarray(0, jnp.int32),
+                     jnp.zeros((rows_pad, BLKS), jnp.float32)))
     out_ref[...] = acc
 
 
@@ -147,8 +174,8 @@ def expand_segments(table, starts, counts, cap: int, interpret: bool = False):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((rows_pad, BLKS), lambda b, lo: (0, b)),
             scratch_shapes=[
-                pltpu.VMEM((rows_pad, W), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, rows_pad, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, cap_pad), jnp.float32),

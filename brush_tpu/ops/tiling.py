@@ -52,6 +52,16 @@ SOA_ROWS = 16
 CK = 256          # rasterizer chunk length (lanes)
 LANE_PAD = CK + 128  # soa tail padding so window reads never run off the end
 
+# Exact gaussian-vs-tile testing is applied to the first B_SCAN bbox-local
+# slots of every splat (the reference tests ALL slots in its per-thread
+# loop, map_gaussians.rs:62-75; bounding the tested prefix keeps the
+# per-splat emitted-count pass a fixed [N, B_SCAN] block). Slots local >=
+# B_SCAN (giant splats only) fall back to bbox semantics. Removed slots are
+# exactly inert by construction: will_contribute failing means every pixel
+# in the tile has sigma > ln(255*opac), i.e. alpha below the rasterizer's
+# 1/255 gate — the rendered image and all gradients are bitwise unchanged.
+B_SCAN = 32
+
 
 class Intersections(NamedTuple):
     num_visible: jnp.ndarray   # [] int32
@@ -117,6 +127,13 @@ def will_contribute(
     ddy = py - my
     sigma = 0.5 * (c00 * ddx * ddx + c11 * ddy * ddy) + c01 * ddx * ddy
     return (in_x & in_y) | (sigma <= power_threshold)
+
+
+def _power_threshold(opac):
+    """ln(255*opac), the alpha-cutoff iso-level (project_forward.rs:96).
+    One shared definition so the emission-time exact test and the
+    emitted-count pass agree bitwise."""
+    return jnp.log(jnp.maximum(opac, 1e-30) * 255.0)
 
 
 def _cumsum_flat(x):
@@ -201,23 +218,35 @@ def build_intersections(
 
     def tile_of(vals, local, in_range):
         """Tile id for bbox-local slot indices `local` described by
-        attribute rows `vals`; sentinel past the splat's bbox. (No exact
-        gaussian-vs-tile pre-filter here: a non-contributing pair has every
-        pixel alpha below 1/255, so the rasterizer's alpha gate makes it
-        exactly inert — filtering early would only shrink kernel spans, and
-        its per-splat survivor bookkeeping costs more than it saves.)"""
+        attribute rows `vals`; sentinel past the splat's bbox AND for
+        bbox tiles failing the exact gaussian-vs-tile test (StopThePop
+        skip, map_gaussians.rs:62-75) — those slots sort past every real
+        tile, shrinking kernel spans ~25-40% with bitwise-identical output
+        (alpha < 1/255 everywhere in a failed tile). The test is applied
+        to locals < B_SCAN; the per-splat emitted counts below use the
+        same formula on the same f32 values, so segment bookkeeping for
+        the backward reduce stays exact."""
         bb_w = vals[13].astype(jnp.int32)
         tx = vals[11].astype(jnp.int32) + local % bb_w
         ty = vals[12].astype(jnp.int32) + local // bb_w
-        return jnp.where(in_range, ty * tile_bw + tx, num_tiles)
+        pt = _power_threshold(vals[5])
+        hit = will_contribute(tx, ty, vals[0], vals[1],
+                              vals[2], vals[3], vals[4], pt)
+        keep = in_range & (hit | (local >= B_SCAN))
+        return jnp.where(keep, ty * tile_bw + tx, num_tiles)
 
     # --- dense part: slots k < min(count, K0), pure per-splat broadcast ---
-    kd = jnp.arange(k0, dtype=jnp.int32)[None, :]          # [1, K0]
-    dense_in = kd < counts[:, None]                        # [N, K0]
-    tile_id_d = tile_of(table[:, :, None], kd, dense_in)   # [N, K0]
-    rank_d = jnp.broadcast_to(depth_bits[:, None], (n, k0))
+    # K-MAJOR layout [K0, N]: slot order before the sort is irrelevant
+    # ((tile, depth) keys are unique per splat), and a k-major reshape(-1)
+    # is a concat of contiguous row copies — the splat-major [N, K0] layout
+    # materialized as an element-interleave, which XLA writes at the slow
+    # strided rate (~50 ms of the round-2 frame hid in these concats).
+    kd = jnp.arange(k0, dtype=jnp.int32)[:, None]          # [K0, 1]
+    dense_in = kd < counts[None, :]                        # [K0, N]
+    tile_id_d = tile_of(table[:, None, :], kd, dense_in)   # [K0, N]
+    rank_d = jnp.broadcast_to(depth_bits[None, :], (k0, n))
     gid_d = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k0))
+        jnp.arange(n, dtype=jnp.int32)[None, :], (k0, n))
 
     # --- remainder: slots k >= K0 of large splats, owner-lookup expansion ---
     rem_counts = jnp.maximum(counts - k0, 0)
@@ -272,7 +301,7 @@ def build_intersections(
     gid_all = jnp.concatenate([gid_d.reshape(-1), gid_r])
     payload = [
         jnp.concatenate([
-            jnp.broadcast_to(table[r][:, None], (n, k0)).reshape(-1),
+            jnp.broadcast_to(table[r][None, :], (k0, n)).reshape(-1),
             vals_r[r],
         ]) for r in range(9)                               # xy,conic,opac,rgb
     ]
@@ -304,13 +333,25 @@ def build_intersections(
     chunk_starts = (ccum - nchunks).astype(jnp.int32)
 
     # Per-splat surviving-slot counts for the backward's sorted-order
-    # segment reduce: every in-bbox slot reaches the sorted ranges (no
-    # pre-filter), EXCEPT remainder slots truncated by rem_cap overflow —
-    # count only actually-emitted slots so gradient segments stay aligned
-    # even while the host retry loop is catching up.
-    emitted = (jnp.minimum(counts, k0)
-               + jnp.minimum(rem_counts, jnp.clip(rem_cap - rem_starts,
-                                                  0, None)))
+    # segment reduce: an in-bbox slot reaches a REAL tile's range iff it
+    # passes the exact test (tile_of masks failures to the sentinel) and
+    # isn't truncated by rem_cap overflow. Recompute the same test over the
+    # first B_SCAN locals (bitwise-identical formula and values) and count
+    # only slots below each splat's emission limit.
+    avail_rem = jnp.clip(rem_cap - rem_starts, 0, None)
+    limit = jnp.minimum(counts, k0 + avail_rem)        # [N] emitted bound
+    jloc = jnp.arange(B_SCAN, dtype=jnp.int32)[None, :]
+    bb_w_n = jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0],
+                         1)[:, None]
+    tx_n = proj.tile_min[:, 0:1] + jloc % bb_w_n
+    ty_n = proj.tile_min[:, 1:2] + jloc // bb_w_n
+    hit_n = will_contribute(
+        tx_n, ty_n, proj.mean2d[:, 0:1], proj.mean2d[:, 1:2],
+        proj.conic[:, 0:1], proj.conic[:, 1:2], proj.conic[:, 2:3],
+        _power_threshold(proj.opac)[:, None])
+    emitted = (jnp.sum((hit_n & (jloc < limit[:, None])).astype(jnp.int32),
+                       axis=1)
+               + jnp.maximum(limit - B_SCAN, 0))
     gcum = _cumsum_flat(emitted)
     surv_starts_g = (gcum - emitted).astype(jnp.int32)
 

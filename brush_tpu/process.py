@@ -178,6 +178,7 @@ def train_process(
     loader = SceneLoader(ds.train, seed=pcfg.seed,
                          alpha_mode=lcfg.alpha_mode)
     centers, focals = view_camera_arrays(ds, lcfg.max_resolution)
+    eval_cache: dict = {}  # packed eval views, decoded once per run
 
     # Image sizes vary per view; jit one step per distinct size (the
     # reference recompiles kernels per resolution too, Appendix B).
@@ -343,7 +344,8 @@ def train_process(
             yield msg
 
         if pcfg.eval_every and it % pcfg.eval_every == 0 and ds.eval:
-            emsg = _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader)
+            emsg = _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader,
+                             cache=eval_cache)
             if on_message:
                 on_message(emsg)
             if telem:
@@ -428,17 +430,29 @@ def train_process(
     loader.stop()
 
 
-def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader):
+def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader,
+              cache=None):
+    """Evaluate on the eval split. `cache` (a dict owned by the caller's
+    run) keeps the decoded+packed eval views on device across evals — the
+    reference byte-budget-caches packed batches the same way
+    (scene_loader.rs:57-163); without it every eval re-decodes O(views)
+    PNGs on a 1-CPU host."""
     from brush_tpu.data.scene import load_image, pack_rgba
 
-    pairs = []
-    img_size = None
-    for v in ds.eval.views:
-        arr, _ = load_image(ds.eval.vfs, v.image_path, lcfg.max_resolution,
-                            mask_path=v.mask_path)
-        packed = pack_rgba(arr, lcfg.alpha_mode)
-        pairs.append((v.camera, jnp.asarray(packed)))
-        img_size = (packed.shape[1], packed.shape[0])
+    key = ("eval_pairs", lcfg.max_resolution, lcfg.alpha_mode)
+    if cache is None or key not in cache:
+        pairs = []
+        img_size = None
+        for v in ds.eval.views:
+            arr, _ = load_image(ds.eval.vfs, v.image_path,
+                                lcfg.max_resolution, mask_path=v.mask_path)
+            packed = pack_rgba(arr, lcfg.alpha_mode)
+            pairs.append((v.camera, jnp.asarray(packed)))
+            img_size = (packed.shape[1], packed.shape[0])
+        if cache is not None:
+            cache[key] = (pairs, img_size)
+    else:
+        pairs, img_size = cache[key]
     rcfg = RenderConfig(img_size=img_size, sh_degree=pcfg.sh_degree,
                         isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
     stats = eval_views(state.splats, pairs, rcfg,
