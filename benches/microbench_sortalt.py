@@ -44,7 +44,7 @@ def main():
 
     # semi-sorted indices: tile-clustered (sorted within 690 tile groups)
     idx = rng.integers(0, N, size=M).astype(np.int32)
-    idx_semi = np.sort(idx.reshape(8160, -1), axis=1).reshape(-1)
+    idx_semi = np.sort(idx.reshape(8000, -1), axis=1).reshape(-1)
     idxj = jnp.asarray(idx_semi)
 
     table = jnp.asarray(rng.standard_normal((N, 16)).astype(np.float32))

@@ -122,6 +122,125 @@ def pallas_vs_oracle():
           f"maxdiff={gmax:.2e} (ref magnitude {ref:.2e})")
 
 
+def deep_wall_parity():
+    """Depth-complexity bound (VERDICT r2 #5 / ADVICE r1): 512 near-opaque
+    splats stacked on the same tiles — hundreds of compositing steps per
+    pixel — Pallas vs the jnp oracle at 1e-5. Bounds the log-space MXU
+    transmittance prefix drift in the regime where it accumulates; the
+    early-exit cutoff (T < 1e-4) keeps the deep tail's contribution below
+    1e-4, so surviving error must sit near float precision."""
+    from brush_tpu.camera import Camera
+    from brush_tpu.render import RenderConfig, camera_inputs, render
+
+    rng = np.random.default_rng(11)
+    n = 512
+    means = np.zeros((n, 3), np.float32)
+    means[:, 0] = rng.uniform(-0.4, 0.4, n)
+    means[:, 1] = rng.uniform(-0.4, 0.4, n)
+    means[:, 2] = np.linspace(0.0, 6.0, n)        # depth-ordered wall
+    log_scales = np.full((n, 3), np.log(0.55), np.float32)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    sh = rng.uniform(0.2, 1.8, (n, 1, 3)).astype(np.float32)
+    raw_op = np.full((n,), 2.5, np.float32)       # sigmoid ~ 0.924
+    cam_host = Camera(position=np.array([0.0, 0.0, -4.0]),
+                      rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                      fov_x=0.8, fov_y=0.8)
+    img_size = (96, 96)
+    cam = camera_inputs(cam_host, img_size)
+    args = (jnp.asarray(means), jnp.asarray(log_scales), jnp.asarray(quats),
+            jnp.asarray(sh), jnp.asarray(raw_op))
+    outs = {}
+    for pallas in (False, True):
+        cfg = RenderConfig(img_size=img_size, sh_degree=0,
+                           isect_cap=1 << 14, max_per_tile=1024,
+                           use_pallas=pallas)
+        outs[pallas] = np.asarray(jax.jit(
+            lambda *a, c=cfg: render(*a, cam, jnp.zeros(3), c)[0])(*args))
+    diff = np.abs(outs[True] - outs[False]).max()
+    check("deep wall (512-deep) pallas vs oracle", diff < 1e-5,
+          f"maxdiff={diff:.2e}")
+
+
+def mix_case_pallas():
+    """The mix-regime fixture (76873 splats, huge scale spread — see
+    tests/data/generate_mix_case.py) through the PRODUCTION Pallas path on
+    this backend, vs the frozen jnp-oracle golden."""
+    from safetensors.numpy import load_file
+    from brush_tpu.camera import Camera
+    from brush_tpu.render import RenderConfig, camera_inputs, render
+
+    d = load_file(REPO / "tests" / "data" / "mix_case_jnp.safetensors")
+    h, w = d["out_img"].shape[:2]
+    cam_host = Camera(position=np.array([0.123, 0.456, -8.0]),
+                      rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+                      fov_x=np.pi / 2.0, fov_y=np.pi / 2.0)
+    cam = camera_inputs(cam_host, (w, h))
+    cfg = RenderConfig(img_size=(w, h), sh_degree=3, isect_cap=1 << 18,
+                       use_pallas=True)
+    img_out, _ = jax.jit(
+        lambda *a: render(*a, cam, jnp.zeros(3), cfg))(
+        jnp.asarray(d["means"]), jnp.asarray(d["scales"]),
+        jnp.asarray(d["quats"]), jnp.asarray(d["coeffs"]),
+        jnp.asarray(d["opacities"]))
+    diff = np.abs(np.asarray(img_out) - d["out_img"]).max()
+    check("mix case pallas vs frozen oracle", diff < 2e-4,
+          f"maxdiff={diff:.2e}")
+
+
+def scale_stress_30m():
+    """30M-element stress of the binning primitives (the reference tests
+    its prefix-sum and rendering at 30M: brush-prefix-sum lib.rs:85-189,
+    brush-render tests). Exercises the >2^24 regime the 12-bit limb
+    transport exists for: cumsum at 30M, segmented one-hot expansion with
+    start indices past 2^24, and the SoA stack."""
+    from brush_tpu.ops.expand_pallas import expand_segments
+    from brush_tpu.ops.scan_pallas import cumsum_rows, stack_rows
+
+    if jax.default_backend() == "cpu":
+        print("[SKIP] 30M stress (needs the real chip)")
+        return
+    m = 30_000_000
+    n = 1_000_000
+    rng = np.random.default_rng(5)
+    counts = rng.poisson(30.0, n).astype(np.int32)
+    counts = (counts * (m / counts.sum())).astype(np.int32)
+    cum = jnp.asarray(np.cumsum(counts, dtype=np.int64).astype(np.int32))
+    total = int(cum[-1])
+    starts = (cum - jnp.asarray(counts)).astype(jnp.int32)
+
+    # cumsum at 30M matches a numpy oracle at sampled positions
+    x = jnp.ones((1, m), jnp.float32)
+    cs = cumsum_rows(x)
+    probes = np.array([0, 12345, 2**24, 2**24 + 1, m - 1])
+    got = np.asarray(cs[0, probes])
+    check("cumsum 30M", bool(np.array_equal(got, (probes + 1).astype(
+        np.float32))), f"probes={got}")
+
+    # expansion: start limbs must survive past 2^24 exactly
+    vals = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    tbl = jnp.stack([vals,
+                     jnp.asarray(counts).astype(jnp.float32)])
+    cap = int(total)
+    out = expand_segments(tbl, starts, jnp.asarray(counts), cap)
+    sample_g = np.array([0, n // 3, n - 1])
+    ok = True
+    starts_np = np.asarray(starts)
+    for g in sample_g:
+        if counts[g] == 0:
+            continue
+        s0 = int(starts_np[g])
+        seg = np.asarray(out[0, s0:s0 + int(counts[g])])
+        ok &= bool(np.all(seg == float(vals[g])))
+    check("expand 30M limb transport", ok,
+          f"total={total} (>2^24: {total > 2**24})")
+
+    # SoA stack at 30M lanes
+    rows = [out[0], out[1]]
+    soa = stack_rows(rows, 4, m)
+    check("stack 30M", bool(np.asarray(soa[0, 123456]) ==
+                            np.asarray(out[0, 123456])))
+
+
 def train_steps():
     from brush_tpu.camera import Camera
     from brush_tpu.ops.loss import pack_gt
@@ -165,7 +284,10 @@ def main():
     golden_cases()
     ssim_identity()
     pallas_vs_oracle()
+    deep_wall_parity()
+    mix_case_pallas()
     train_steps()
+    scale_stress_30m()
     dt = time.perf_counter() - t0
     print(f"{'SMOKE OK' if not FAILED else 'SMOKE FAILED'} "
           f"({dt:.0f}s): {FAILED or 'all checks passed'}")

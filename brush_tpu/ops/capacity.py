@@ -50,13 +50,16 @@ def _count_fn(img_size, model, mip_splatting, k0s):
     import jax
     import jax.numpy as jnp
     from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.tiling import exact_tile_counts
 
     def count(means, log_scales, quats, raw_opacities, cam):
         sh0 = jnp.zeros((means.shape[0], 1, 3), jnp.float32)
         proj = project_splats(means, log_scales, quats, sh0, raw_opacities,
                               cam, img_size, sh_degree=0,
                               model=model, mip_splatting=mip_splatting)
-        cnt = proj.num_tiles_bbox
+        # Exact-hit counts, the same bitwise formula emission uses — bbox
+        # counts would over-provision the remainder by ~1.4-1.7x.
+        _, cnt = exact_tile_counts(proj)
         rems = jnp.stack([jnp.sum(jnp.maximum(cnt - k, 0)) for k in k0s])
         return rems, jnp.sum(cnt), jnp.max(cnt)
 

@@ -55,11 +55,13 @@ LANE_PAD = CK + 128  # soa tail padding so window reads never run off the end
 # Exact gaussian-vs-tile testing is applied to the first B_SCAN bbox-local
 # slots of every splat (the reference tests ALL slots in its per-thread
 # loop, map_gaussians.rs:62-75; bounding the tested prefix keeps the
-# per-splat emitted-count pass a fixed [N, B_SCAN] block). Slots local >=
-# B_SCAN (giant splats only) fall back to bbox semantics. Removed slots are
-# exactly inert by construction: will_contribute failing means every pixel
-# in the tile has sigma > ln(255*opac), i.e. alpha below the rasterizer's
-# 1/255 gate — the rendered image and all gradients are bitwise unchanged.
+# per-splat hit-mask pass a fixed [N, B_SCAN] block and the mask one u32).
+# Slots local >= B_SCAN (giant splats only) fall back to bbox semantics.
+# Removed slots are exactly inert by construction: will_contribute failing
+# means every pixel in the tile has sigma > ln(255*opac), i.e. alpha below
+# the rasterizer's 1/255 gate — the rendered image and all gradients are
+# bitwise unchanged, but EMISSION COUNTS shrink (~25-40%), so the sort,
+# the expansion, and the backward reduce all process fewer slots.
 B_SCAN = 32
 
 
@@ -136,6 +138,48 @@ def _power_threshold(opac):
     return jnp.log(jnp.maximum(opac, 1e-30) * 255.0)
 
 
+def exact_tile_counts(proj):
+    """Per-splat exact-hit bitmask over the first B_SCAN bbox-local slots
+    and the exact emission count.
+
+    Returns (mask [N] uint32, counts_x [N] int32) where bit j of mask says
+    bbox-local slot j passes the exact gaussian-vs-tile test, and
+    counts_x = popcount(mask) + max(bbox_count - B_SCAN, 0) — passing
+    locals < B_SCAN plus the untested bbox tail of giant splats. Shared by
+    the emission pipeline and the capacity planner so both count the same
+    slots bitwise."""
+    counts_bb = proj.num_tiles_bbox.astype(jnp.int32)
+    jloc = jnp.arange(B_SCAN, dtype=jnp.int32)[None, :]
+    bb_w = jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)[:, None]
+    tx = proj.tile_min[:, 0:1] + jloc % bb_w
+    ty = proj.tile_min[:, 1:2] + jloc // bb_w
+    hit = will_contribute(
+        tx, ty, proj.mean2d[:, 0:1], proj.mean2d[:, 1:2],
+        proj.conic[:, 0:1], proj.conic[:, 1:2], proj.conic[:, 2:3],
+        _power_threshold(proj.opac)[:, None])
+    hit = hit & (jloc < jnp.minimum(counts_bb, B_SCAN)[:, None])
+    mask = jnp.sum(hit.astype(jnp.uint32)
+                   << jnp.arange(B_SCAN, dtype=jnp.uint32)[None, :],
+                   axis=1, dtype=jnp.uint32)
+    pc = jax.lax.population_count(mask).astype(jnp.int32)
+    counts_x = pc + jnp.maximum(counts_bb - B_SCAN, 0)
+    return mask, counts_x
+
+
+def _select_bit(mask_u32, j):
+    """Vectorized position of the j-th (0-based) set bit of each uint32;
+    callers guarantee j < popcount(mask). The 32-step unrolled scan fuses
+    into one elementwise pass — there is no gather anywhere."""
+    cnt = jnp.zeros_like(j)
+    pos = jnp.zeros_like(j)
+    for b in range(B_SCAN):
+        bit = ((mask_u32 >> jnp.uint32(b)) & jnp.uint32(1)).astype(j.dtype)
+        here = (bit == 1) & (cnt == j)
+        pos = jnp.where(here, b, pos)
+        cnt = cnt + bit
+    return pos
+
+
 def _cumsum_flat(x):
     """Inclusive 1-D prefix sum: Pallas carry-scan on TPU, jnp.cumsum on CPU
     (associative_scan's recursive form compiles pathologically on TPU at 8M;
@@ -195,13 +239,23 @@ def build_intersections(
     # removes the depth argsort and every per-index permutation
     # gather/scatter the compact-order formulation needed. Culled splats
     # have num_tiles_bbox == 0 (projection.py) and expand to nothing.
-    counts = proj.num_tiles_bbox.astype(jnp.int32)         # [N] global
+    #
+    # EXACT-COUNT EMISSION: slot budgets use the exact gaussian-vs-tile
+    # counts (StopThePop skip, map_gaussians.rs:62-75), not bbox counts —
+    # per-splat slot k decodes to the k-th PASSING bbox tile via the hit
+    # bitmask, so non-contributing pairs never enter the sort at all
+    # (~25-40% fewer slots through sort + expansion + backward reduce,
+    # bitwise-identical images: a failed tile has alpha < 1/255 at every
+    # pixel). Locals >= B_SCAN (giant splats) keep bbox semantics.
+    hit_mask, counts = exact_tile_counts(proj)             # [N] u32, [N] i32
+    pc = jax.lax.population_count(hit_mask).astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(proj.depth, 0.0), jnp.int32)
 
     # Per-splat attribute table, global order. Floats carry the small ints
-    # exactly (gid < 2^24, tile coords < 2^12); the depth key rides as a raw
-    # bit pattern (row 10) — gathers preserve bits, so it bitcasts back.
+    # exactly (gid < 2^24, tile coords < 2^12, mask limbs < 2^16); the
+    # depth key rides as a raw bit pattern (row 10) — gathers preserve
+    # bits, so it bitcasts back.
     table = jnp.stack([
         proj.mean2d[:, 0], proj.mean2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
@@ -213,27 +267,25 @@ def build_intersections(
         proj.tile_min[:, 1].astype(jnp.float32),
         jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1
                     ).astype(jnp.float32),
-        counts.astype(jnp.float32),                        # bbox slot count
-    ], axis=0)                                             # [15, N]
+        counts.astype(jnp.float32),                        # EXACT slot count
+        (hit_mask & jnp.uint32(0xFFFF)).astype(jnp.float32),
+        (hit_mask >> jnp.uint32(16)).astype(jnp.float32),
+    ], axis=0)                                             # [17, N]
 
     def tile_of(vals, local, in_range):
         """Tile id for bbox-local slot indices `local` described by
-        attribute rows `vals`; sentinel past the splat's bbox AND for
-        bbox tiles failing the exact gaussian-vs-tile test (StopThePop
-        skip, map_gaussians.rs:62-75) — those slots sort past every real
-        tile, shrinking kernel spans ~25-40% with bitwise-identical output
-        (alpha < 1/255 everywhere in a failed tile). The test is applied
-        to locals < B_SCAN; the per-splat emitted counts below use the
-        same formula on the same f32 values, so segment bookkeeping for
-        the backward reduce stays exact."""
+        attribute rows `vals`; the sentinel tile (== num_tiles) for
+        out-of-range slots, which sort past every real tile."""
         bb_w = vals[13].astype(jnp.int32)
         tx = vals[11].astype(jnp.int32) + local % bb_w
         ty = vals[12].astype(jnp.int32) + local // bb_w
-        pt = _power_threshold(vals[5])
-        hit = will_contribute(tx, ty, vals[0], vals[1],
-                              vals[2], vals[3], vals[4], pt)
-        keep = in_range & (hit | (local >= B_SCAN))
-        return jnp.where(keep, ty * tile_bw + tx, num_tiles)
+        return jnp.where(in_range, ty * tile_bw + tx, num_tiles)
+
+    def decode_local(mask, pcnt, j):
+        """Bbox-local index of a splat's j-th emitted slot: the j-th set
+        mask bit for j < popcount, else the bbox tail past B_SCAN."""
+        return jnp.where(j < pcnt, _select_bit(mask, jnp.minimum(j, pcnt)),
+                         B_SCAN + j - pcnt)
 
     # --- dense part: slots k < min(count, K0), pure per-splat broadcast ---
     # K-MAJOR layout [K0, N]: slot order before the sort is irrelevant
@@ -243,7 +295,8 @@ def build_intersections(
     # strided rate (~50 ms of the round-2 frame hid in these concats).
     kd = jnp.arange(k0, dtype=jnp.int32)[:, None]          # [K0, 1]
     dense_in = kd < counts[None, :]                        # [K0, N]
-    tile_id_d = tile_of(table[:, None, :], kd, dense_in)   # [K0, N]
+    local_d = decode_local(hit_mask[None, :], pc[None, :], kd)
+    tile_id_d = tile_of(table[:, None, :], local_d, dense_in)  # [K0, N]
     rank_d = jnp.broadcast_to(depth_bits[None, :], (k0, n))
     gid_d = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[None, :], (k0, n))
@@ -259,7 +312,7 @@ def build_intersections(
         owner = jnp.clip(jnp.searchsorted(
             rem_starts, rem_slots, side="right").astype(jnp.int32) - 1,
             0, n - 1)
-        vals_r = table[:, owner]                           # [15, R]
+        vals_r = table[:, owner]                           # [17, R]
         start_r = rem_starts[owner]
         start_r = jnp.where(rem_counts[owner] > 0, start_r, rem_cap)
     else:
@@ -268,22 +321,28 @@ def build_intersections(
         # 2^24 (30M-slot stress regime); attribute rows are plain f32
         # values and transport exactly through the one-hot matmul.
         from brush_tpu.ops.expand_pallas import expand_segments
-        tbl17 = jnp.concatenate([
+        tbl19 = jnp.concatenate([
             table,
             (rem_starts % 4096).astype(jnp.float32)[None],
             (rem_starts // 4096).astype(jnp.float32)[None],
         ], axis=0)
-        filled = expand_segments(tbl17, rem_starts, rem_counts, rem_cap)
-        vals_r = filled[:15]                               # [15, R]
-        start_r = (filled[15].astype(jnp.int32)
-                   + filled[16].astype(jnp.int32) * 4096)
-    local_r = k0 + (rem_slots - start_r)
+        filled = expand_segments(tbl19, rem_starts, rem_counts, rem_cap)
+        vals_r = filled[:17]                               # [17, R]
+        start_r = (filled[17].astype(jnp.int32)
+                   + filled[18].astype(jnp.int32) * 4096)
+    # Emission rank within the owner -> bbox-local via the owner's mask.
+    j_r = k0 + (rem_slots - start_r)
+    mask_r = (vals_r[15].astype(jnp.uint32)
+              | (vals_r[16].astype(jnp.uint32) << jnp.uint32(16)))
+    pc_r = jax.lax.population_count(mask_r).astype(jnp.int32)
+    local_r = decode_local(mask_r, pc_r, j_r)
     # On remainder-capacity overflow the start markers of splats past
     # rem_cap are dropped, so trailing slots inherit the last fitting owner
-    # with out-of-bbox local indices — the per-owner bound masks those
+    # with out-of-range emission ranks — the per-owner bound masks those
     # phantom slots to the sentinel tile (the host retry loop is the
     # recovery path; this keeps the truncated state non-corrupting).
-    rem_in = (rem_slots < rem_needed) & (local_r < vals_r[14].astype(jnp.int32))
+    rem_in = ((rem_slots < rem_needed) & (j_r >= 0)
+              & (j_r < vals_r[14].astype(jnp.int32)))
     tile_id_r = tile_of(vals_r, local_r, rem_in)
     rank_r = jax.lax.bitcast_convert_type(vals_r[10], jnp.int32)
     gid_r = vals_r[9].astype(jnp.int32)
@@ -333,25 +392,13 @@ def build_intersections(
     chunk_starts = (ccum - nchunks).astype(jnp.int32)
 
     # Per-splat surviving-slot counts for the backward's sorted-order
-    # segment reduce: an in-bbox slot reaches a REAL tile's range iff it
-    # passes the exact test (tile_of masks failures to the sentinel) and
-    # isn't truncated by rem_cap overflow. Recompute the same test over the
-    # first B_SCAN locals (bitwise-identical formula and values) and count
-    # only slots below each splat's emission limit.
+    # segment reduce: every emitted slot lands in a REAL tile's range
+    # (exact-count emission — non-contributing pairs were never emitted),
+    # EXCEPT remainder slots truncated by rem_cap overflow, so the emitted
+    # count is just the exact count clipped to each splat's available
+    # remainder room.
     avail_rem = jnp.clip(rem_cap - rem_starts, 0, None)
-    limit = jnp.minimum(counts, k0 + avail_rem)        # [N] emitted bound
-    jloc = jnp.arange(B_SCAN, dtype=jnp.int32)[None, :]
-    bb_w_n = jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0],
-                         1)[:, None]
-    tx_n = proj.tile_min[:, 0:1] + jloc % bb_w_n
-    ty_n = proj.tile_min[:, 1:2] + jloc // bb_w_n
-    hit_n = will_contribute(
-        tx_n, ty_n, proj.mean2d[:, 0:1], proj.mean2d[:, 1:2],
-        proj.conic[:, 0:1], proj.conic[:, 1:2], proj.conic[:, 2:3],
-        _power_threshold(proj.opac)[:, None])
-    emitted = (jnp.sum((hit_n & (jloc < limit[:, None])).astype(jnp.int32),
-                       axis=1)
-               + jnp.maximum(limit - B_SCAN, 0))
+    emitted = jnp.minimum(counts, k0 + avail_rem)
     gcum = _cumsum_flat(emitted)
     surv_starts_g = (gcum - emitted).astype(jnp.int32)
 

@@ -28,11 +28,18 @@ def pup_scores(
     rcfg: RenderConfig,
     rng: jnp.ndarray,
     n_probes: int = 8,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Per-splat PUP score: log|det(H + eps I)| with
     H = sum_views J J^T over [d_mean, d_log_scale] (lod.rs:44-112).
-    J J^T is estimated with `n_probes` random image-space probes per view
-    (E[J^T v v^T J] = J^T J for unit-variance v)."""
+
+    Default mode estimates J J^T with `n_probes` random image-space probes
+    per view (E[J^T v v^T J] = J^T J for unit-variance v). ``exact=True``
+    accumulates the per-pixel Jacobian outer products exactly like the
+    reference (lod.rs:78), building J column-by-column with central finite
+    differences of the FORWARD render — an independent differentiation
+    path (2 x 6 x capacity renders per view: tiny scenes only), used as
+    the oracle the estimator is tested against (tests/test_lod.py)."""
     folded = splats.fold_min_scale()
     cap = splats.capacity
     bg = jnp.zeros(3, jnp.float32)
@@ -41,6 +48,31 @@ def pup_scores(
         img, _ = render(means, log_scales, folded.quats, folded.sh_coeffs,
                         folded.raw_opacities, cam, bg, rcfg)
         return img[..., :3]
+
+    fd_eps = 1e-3
+
+    @jax.jit
+    def fd_col(cam, dm, ds):
+        """One Jacobian column by central differences: dm/ds carry +-eps
+        in exactly one (splat, param) entry. One forward graph, reused for
+        all 6*cap columns — per-pixel reverse passes (jacrev / chunked
+        one-hot vjps) compile pathologically at any size."""
+        up = render_img(folded.means + dm, folded.log_scales + ds, cam)
+        dn = render_img(folded.means - dm, folded.log_scales - ds, cam)
+        return (up - dn).reshape(-1) / (2.0 * fd_eps)
+
+    def view_hessian_exact(cam):
+        import numpy as _np
+        cols = []
+        zm = _np.zeros((cap, 3), _np.float32)
+        for g in range(cap):
+            for which, i in [("m", 0), ("m", 1), ("m", 2),
+                             ("s", 0), ("s", 1), ("s", 2)]:
+                dm, ds = zm.copy(), zm.copy()
+                (dm if which == "m" else ds)[g, i] = fd_eps
+                cols.append(fd_col(cam, jnp.asarray(dm), jnp.asarray(ds)))
+        j = jnp.stack(cols, axis=1).reshape(-1, cap, 6)    # [P, cap, 6]
+        return jnp.einsum("pgi,pgj->gij", j, j)
 
     @jax.jit
     def view_hessian(cam, key):
@@ -62,7 +94,8 @@ def pup_scores(
     h_acc = jnp.zeros((cap, 6, 6), jnp.float32)
     for i, cam in enumerate(cams):
         rng, kv = jax.random.split(rng)
-        h_acc = h_acc + view_hessian(cam, kv)
+        h_acc = h_acc + (view_hessian_exact(cam) if exact
+                         else view_hessian(cam, kv))
 
     eps = 1e-12
     h = h_acc + eps * jnp.eye(6)

@@ -55,3 +55,54 @@ def test_fuzz_no_silent_corruption(seed):
     assert np.isfinite(float(val))
     for g, name in zip(grads, ["means", "ls", "quats", "sh", "opac"]):
         assert np.isfinite(np.asarray(g)).all(), f"grad {name} corrupted"
+
+
+def test_poisoned_soa_tail_is_inert():
+    """Buffer-poisoning invariant (reference host.rs:52-66 poisons padded
+    GPU buffers in test mode): the sorted SoA's tail past the last real
+    tile range — sentinel-tile slots plus stack/LANE_PAD padding — is
+    documented as 'unspecified garbage, masked inert' (ops/tiling.py).
+    Filling it with hostile finite values must leave the forward image,
+    every parameter cotangent, the refine weight, and the visibility mask
+    bitwise unchanged."""
+    import dataclasses
+
+    from tests.test_pallas_parity import setup
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_pallas import rasterize_pallas
+    from brush_tpu.ops.tiling import build_intersections
+
+    params, ci, cfg, d = setup()
+    cfg = dataclasses.replace(cfg, use_pallas=True)
+    bg = jnp.array([0.2, 0.1, 0.3], jnp.float32)
+    n = params[0].shape[0]
+
+    proj = project_splats(*params, ci, cfg.img_size, sh_degree=3)
+    isect = build_intersections(proj, cfg.img_size, cfg.isect_cap,
+                                expand_k0=cfg.expand_k0)
+    end = int(np.asarray(isect.tile_ranges)[-1, 1])
+
+    def run(soa):
+        def loss(mean2d, conic, color, opac, rh, vh, bgv):
+            img = rasterize_pallas(
+                mean2d, conic, color, opac, rh, vh, soa,
+                isect.tile_ranges, isect.chunk_starts, isect.num_chunks,
+                isect.surv_starts_g, isect.surv_counts_g, bgv,
+                cfg.img_size, cfg.resolved_chunk_cap(n))
+            wmap = jnp.linspace(0.5, 1.5, img.shape[0])[:, None, None]
+            return jnp.sum(img * wmap), img
+
+        grads, img = jax.grad(
+            loss, argnums=(0, 1, 2, 3, 4, 5, 6), has_aux=True)(
+            proj.mean2d, proj.conic, proj.color, proj.opac,
+            jnp.zeros(n), jnp.zeros(n), bg)
+        return img, grads
+
+    img_clean, g_clean = run(isect.soa)
+    poison = isect.soa.at[:, end:].set(-7.7e33)
+    img_poison, g_poison = run(poison)
+
+    np.testing.assert_array_equal(np.asarray(img_clean),
+                                  np.asarray(img_poison))
+    for a, b in zip(g_clean, g_poison):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
