@@ -1,11 +1,25 @@
 """Per-stage chained timing of the forward pipeline on the real TPU.
 
-The axon tunnel makes naive timing lie (~8 ms fixed dispatch per jit call;
-block_until_ready can return early), so every measurement here chains
+The axon tunnel makes naive timing lie (~6-8 ms fixed dispatch per jit
+call; block_until_ready can return early), so every measurement chains
 iterations through a data dependency and fetches a dependent scalar at the
 end. Subtract the printed `dispatch_floor` from everything.
+
+Writes STAGES_r<N>.json at the repo root when run with --json <path>
+(the committed stage-table artifact; VERDICT r3 item 1).
+
+Stages measured (each INCLUDES the previous ones; the per-stage cost is
+the difference of consecutive rows):
+  projection      project_splats
+  counts          + exact tile counts / hit masks / cumsum bookkeeping
+  emit            + fused emission kernel (ops/emit_pallas.py)
+  sort            + 1-u32-key 5-u64-payload tile sort (ops/tiling_key.py)
+  binning         + SoA stack + tile bounds (== full build_intersections)
+  forward         + rasterize kernel + image assembly (== whole frame)
+  kernel_only     rasterizer alone on a frozen binned scene
 """
 
+import json
 import os
 import sys
 import time
@@ -22,12 +36,16 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from brush_tpu.camera import Camera
-    from brush_tpu.render import RenderConfig, camera_inputs, render
+    from brush_tpu.constants import TILE_WIDTH
+    from brush_tpu.ops import tiling as T
     from brush_tpu.ops.capacity import plan_caps
+    from brush_tpu.ops.emit_pallas import emit_slots
     from brush_tpu.ops.projection import project_splats
-    from brush_tpu.ops.tiling import build_intersections
     from brush_tpu.ops.rasterize_pallas import (
         rasterize_forward_pallas, tiles_to_image)
+    from brush_tpu.ops.tiling import build_intersections
+    from brush_tpu.ops.tiling_key import sort_packed
+    from brush_tpu.render import RenderConfig, camera_inputs, render
     from brush_tpu.utils.synthetic import bench_splats
 
     n_splats = 1_000_000
@@ -46,6 +64,7 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     args = (splats.means, splats.log_scales, splats.quats,
             splats.sh_coeffs, splats.raw_opacities)
+    results = {}
 
     def chain_time(fn, x0, iters=6, label=""):
         x = fn(x0)
@@ -56,51 +75,26 @@ def main():
         _ = float(jax.tree_util.tree_leaves(x)[-1].ravel()[0:1].sum())
         dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"{label:28s} {dt:9.3f} ms", flush=True)
+        results[label] = round(dt, 3)
         return dt
 
-    # dispatch floor
     @jax.jit
     def f0(m):
         return m + 1.0
     chain_time(f0, args[0], label="dispatch_floor")
 
-    # stage 1: projection (chain: perturb means by output-dependent epsilon)
-    @jax.jit
-    def fproj(m):
-        proj = project_splats(m, *args[1:], cam_in, img, sh_degree=0)
-        return m + 0.0 * proj.depth[:, None]
-    chain_time(fproj, args[0], label="projection")
+    img_w, img_h = img
+    tile_bw = -(-img_w // TILE_WIDTH)
+    num_tiles = tile_bw * (-(-img_h // TILE_WIDTH))
 
-    # stage 2: projection + binning
-    @jax.jit
-    def fbin(m):
-        proj = project_splats(m, *args[1:], cam_in, img, sh_degree=0)
-        isect = build_intersections(proj, img, rcfg.isect_cap,
-                                    expand_k0=rcfg.expand_k0)
-        return m + 0.0 * isect.soa[0, :1]
-    chain_time(fbin, args[0], label="proj+binning")
+    def stage_proj(m):
+        return project_splats(m, *args[1:], cam_in, img, sh_degree=0)
 
-    # stage 3: full forward
-    @jax.jit
-    def ffull(m):
-        out, _ = render(m, *args[1:], cam_in, bg, rcfg)
-        return m + 0.0 * out[0, 0, 0]
-    chain_time(ffull, args[0], label="full_forward")
-
-    # binning sub-stages: expansion only (stop before the sort)
-    from brush_tpu.constants import TILE_WIDTH
-    from brush_tpu.ops import tiling as T
-
-    @jax.jit
-    def fexp(m):
-        proj = project_splats(m, *args[1:], cam_in, img, sh_degree=0)
-        proj = jax.tree.map(jax.lax.stop_gradient, proj)
-        img_w, img_h = img
-        tile_bw = -(-img_w // TILE_WIDTH)
-        num_tiles = tile_bw * (-(-img_h // TILE_WIDTH))
+    def stage_counts(m):
+        """Everything build_intersections does before the emission kernel."""
+        proj = jax.tree.map(jax.lax.stop_gradient, stage_proj(m))
         n = proj.depth.shape[0]
-        k0_ = rcfg.expand_k0
-        counts = proj.num_tiles_bbox.astype(jnp.int32)
+        hit_mask, counts = T.exact_tile_counts(proj)
         depth_bits = jax.lax.bitcast_convert_type(
             jnp.maximum(proj.depth, 0.0), jnp.int32)
         table = jnp.stack([
@@ -115,53 +109,95 @@ def main():
             jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1
                         ).astype(jnp.float32),
             counts.astype(jnp.float32),
+            (hit_mask & jnp.uint32(0xFFFF)).astype(jnp.float32),
+            (hit_mask >> jnp.uint32(16)).astype(jnp.float32),
         ], axis=0)
-
-        def tile_of(vals, local, in_range):
-            bb_w = vals[13].astype(jnp.int32)
-            tx = vals[11].astype(jnp.int32) + local % bb_w
-            ty = vals[12].astype(jnp.int32) + local // bb_w
-            return jnp.where(in_range, ty * tile_bw + tx, num_tiles)
-
-        kd = jnp.arange(k0_, dtype=jnp.int32)[None, :]
-        dense_in = kd < counts[:, None]
-        tile_id_d = tile_of(table[:, :, None], kd, dense_in)
-        rank_d = jnp.broadcast_to(depth_bits[:, None], (n, k0_))
-        gid_d = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                                 (n, k0_))
-        rem_counts = jnp.maximum(counts - k0_, 0)
+        rem_counts = jnp.maximum(counts - k0, 0)
         rem_cum = T._cumsum_flat(rem_counts)
         rem_starts = (rem_cum - rem_counts).astype(jnp.int32)
-        from brush_tpu.ops.expand_pallas import expand_segments
-        tbl17 = jnp.concatenate([
-            table,
-            (rem_starts % 4096).astype(jnp.float32)[None],
-            (rem_starts // 4096).astype(jnp.float32)[None],
-        ], axis=0)
-        filled = expand_segments(tbl17, rem_starts, rem_counts,
-                                 rcfg.isect_cap)
-        return m + 0.0 * (filled[0, :1] + tile_id_d[0, :1].astype(jnp.float32)
-                          + rank_d[0, :1].astype(jnp.float32)
-                          + gid_d[0, :1].astype(jnp.float32))
-    chain_time(fexp, args[0], label="proj+expand(nosort)")
+        return table, rem_starts
 
-    # kernel only: freeze a binned scene, re-rasterize with jittered ranges
+    def stage_emit(m):
+        table, rem_starts = stage_counts(m)
+        return emit_slots(table, rem_starts, k0, rem_cap, img)
+
+    def stage_sort(m):
+        key, pays, gid = stage_emit(m)
+        return sort_packed(key, list(pays) + [gid])
+
+    @jax.jit
+    def fproj(m):
+        return m + 0.0 * stage_proj(m).depth[:1, None]
+    chain_time(fproj, args[0], label="projection")
+
+    @jax.jit
+    def fcounts(m):
+        table, rem_starts = stage_counts(m)
+        return m + 0.0 * (table[0, :1] + rem_starts[:1].astype(jnp.float32))
+    chain_time(fcounts, args[0], label="counts")
+
+    @jax.jit
+    def femit(m):
+        key, pays, gid = stage_emit(m)
+        return m + 0.0 * (pays[0][:1] + gid[:1]
+                          + key[:1].astype(jnp.float32))
+    chain_time(femit, args[0], label="emit")
+
+    @jax.jit
+    def fsort(m):
+        key_s, rows_s = stage_sort(m)
+        acc = key_s[:1].astype(jnp.float32)
+        for r in rows_s:
+            acc = acc + r[:1]
+        return m + 0.0 * acc
+    chain_time(fsort, args[0], label="sort")
+
+    @jax.jit
+    def fbin(m):
+        proj = stage_proj(m)
+        isect = build_intersections(proj, img, rcfg.isect_cap,
+                                    expand_k0=rcfg.expand_k0)
+        return m + 0.0 * (isect.soa[0, :1]
+                          + isect.tile_ranges[0, :1].astype(jnp.float32))
+    chain_time(fbin, args[0], label="binning")
+
+    @jax.jit
+    def ffull(m):
+        out, _ = render(m, *args[1:], cam_in, bg, rcfg)
+        return m + 0.0 * out[0, 0, 0]
+    chain_time(ffull, args[0], label="forward")
+
+    # kernel only: freeze a binned scene, re-rasterize
     proj = jax.jit(lambda m: project_splats(
         m, *args[1:], cam_in, img, sh_degree=0))(args[0])
     isect = jax.jit(lambda p: build_intersections(
         p, img, rcfg.isect_cap, expand_k0=rcfg.expand_k0))(proj)
     soa = isect.soa
     ranges = isect.tile_ranges
-    print("num_isects(remainder) =", int(isect.num_isects),
-          " total bbox slots =", int(np.asarray(
-              jax.jit(lambda p: p.num_tiles_bbox.sum())(proj))), flush=True)
+    n_isects = int(isect.num_isects)
+    print("num_isects(remainder) =", n_isects, flush=True)
 
     @jax.jit
     def fkern(s):
         tiles = rasterize_forward_pallas(s, ranges, bg, img)
         o = tiles_to_image(tiles, img)
         return s + 0.0 * o[0, 0, 0]
-    chain_time(fkern, soa, label="fwd_kernel(+img asm)")
+    chain_time(fkern, soa, label="kernel_only")
+
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump({
+                "config": {"n_splats": n_splats, "img": img, "k0": k0,
+                           "rem_cap": rem_cap,
+                           "s_cap": n_splats * k0 + rem_cap,
+                           "num_isects_remainder": n_isects},
+                "cumulative_ms": results,
+                "note": ("stages are cumulative; per-stage cost is the "
+                         "difference of consecutive rows minus nothing "
+                         "(dispatch floor cancels in differences)"),
+            }, f, indent=1)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -169,7 +169,9 @@ def mix_case_pallas():
     from brush_tpu.camera import Camera
     from brush_tpu.render import RenderConfig, camera_inputs, render
 
-    d = load_file(REPO / "tests" / "data" / "mix_case_jnp.safetensors")
+    sys.path.insert(0, str(REPO / "tests" / "data"))
+    from generate_mix_case import mix_case_path
+    d = load_file(mix_case_path())
     h, w = d["out_img"].shape[:2]
     cam_host = Camera(position=np.array([0.123, 0.456, -8.0]),
                       rotation=np.array([1.0, 0.0, 0.0, 0.0]),

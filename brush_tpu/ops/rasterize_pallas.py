@@ -659,14 +659,16 @@ def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n):
     # sentinel BEFORE the int conversion (garbage floats sort anywhere).
     chunk_ok = (jnp.arange(l, dtype=jnp.int32) // CK) < num_chunks
     key = jnp.where(chunk_ok, gt[11], jnp.float32(n)).astype(jnp.int32)
-    key = jnp.clip(key, 0, n)
+    key = jnp.clip(key, 0, n).astype(jnp.uint32)
     # Non-stable: tie order within a splat only permutes the summation
     # order, and XLA's sorting network is a fixed deterministic program —
     # same inputs give bitwise-identical sums run to run (the reference's
-    # atomic adds don't even guarantee that).
-    sorted_ops = jax.lax.sort(
-        (key,) + tuple(gt[i] for i in range(11)), num_keys=1, is_stable=False)
-    g_sorted = jnp.stack(sorted_ops[1:], axis=0)           # [11, L] gid-major
+    # atomic adds don't even guarantee that). Payload rows ride bit-packed
+    # in u64 pairs: the sort's cost is per OPERAND (ops/tiling_key.py), so
+    # 6 packed rows beat 11 plain ones by ~2x on the payload bill.
+    from brush_tpu.ops.tiling_key import sort_packed
+    _, rows_sorted = sort_packed(key, [gt[i] for i in range(11)])
+    g_sorted = jnp.stack(rows_sorted, axis=0)              # [11, L] gid-major
     cs = _cumsum_flat_rows(g_sorted)                       # [11, L]
     csp = jnp.concatenate([jnp.zeros((11, 1), cs.dtype), cs], axis=1)
     # Segments are contiguous in global order (starts are an exclusive

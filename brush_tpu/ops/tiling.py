@@ -44,6 +44,8 @@ import jax.numpy as jnp
 
 from brush_tpu.constants import TILE_WIDTH
 from brush_tpu.ops.projection import ProjectedSplats
+from brush_tpu.ops.tiling_key import (
+    B_SCAN, combined_key, sort_packed, tile_boundary_keys)
 
 # SoA row layout in `soa` (and in the backward's gradient buffer):
 # 0 xy_x, 1 xy_y, 2 conic00, 3 conic01, 4 conic11, 5 opacity, 6..8 rgb,
@@ -52,17 +54,12 @@ SOA_ROWS = 16
 CK = 256          # rasterizer chunk length (lanes)
 LANE_PAD = CK + 128  # soa tail padding so window reads never run off the end
 
-# Exact gaussian-vs-tile testing is applied to the first B_SCAN bbox-local
-# slots of every splat (the reference tests ALL slots in its per-thread
-# loop, map_gaussians.rs:62-75; bounding the tested prefix keeps the
-# per-splat hit-mask pass a fixed [N, B_SCAN] block and the mask one u32).
-# Slots local >= B_SCAN (giant splats only) fall back to bbox semantics.
-# Removed slots are exactly inert by construction: will_contribute failing
-# means every pixel in the tile has sigma > ln(255*opac), i.e. alpha below
-# the rasterizer's 1/255 gate — the rendered image and all gradients are
-# bitwise unchanged, but EMISSION COUNTS shrink (~25-40%), so the sort,
-# the expansion, and the backward reduce all process fewer slots.
-B_SCAN = 32
+# B_SCAN (exact gaussian-vs-tile test width) lives in ops/tiling_key.py —
+# shared with the fused emission kernel. Exact-count emission: removed
+# slots are exactly inert by construction (will_contribute failing means
+# alpha < 1/255 at every pixel of the tile), but EMISSION COUNTS shrink
+# (~25-40%), so the sort, the expansion, and the backward reduce all
+# process fewer slots.
 
 
 class Intersections(NamedTuple):
@@ -227,16 +224,14 @@ def build_intersections(
     n = proj.depth.shape[0]
     k0 = max(int(expand_k0), 1)
     rem_cap = isect_cap
-    s_cap = n * k0 + rem_cap
-    if chunk_cap is None:
-        chunk_cap = s_cap // CK + num_tiles
+    del chunk_cap  # backward gradient capacity is resolved by the caller
 
     num_visible = jnp.sum(proj.visible).astype(jnp.int32)
 
     # Everything runs in GLOBAL splat order: depth ordering comes from the
     # sort KEY, not from a pre-permutation. Positive-float bit patterns are
-    # order-preserving as int32, so the depth key is a free bitcast — this
-    # removes the depth argsort and every per-index permutation
+    # order-preserving as unsigned ints, so the depth key is a free bitcast
+    # — this removes the depth argsort and every per-index permutation
     # gather/scatter the compact-order formulation needed. Culled splats
     # have num_tiles_bbox == 0 (projection.py) and expand to nothing.
     #
@@ -272,103 +267,39 @@ def build_intersections(
         (hit_mask >> jnp.uint32(16)).astype(jnp.float32),
     ], axis=0)                                             # [17, N]
 
-    def tile_of(vals, local, in_range):
-        """Tile id for bbox-local slot indices `local` described by
-        attribute rows `vals`; the sentinel tile (== num_tiles) for
-        out-of-range slots, which sort past every real tile."""
-        bb_w = vals[13].astype(jnp.int32)
-        tx = vals[11].astype(jnp.int32) + local % bb_w
-        ty = vals[12].astype(jnp.int32) + local // bb_w
-        return jnp.where(in_range, ty * tile_bw + tx, num_tiles)
-
-    def decode_local(mask, pcnt, j):
-        """Bbox-local index of a splat's j-th emitted slot: the j-th set
-        mask bit for j < popcount, else the bbox tail past B_SCAN."""
-        return jnp.where(j < pcnt, _select_bit(mask, jnp.minimum(j, pcnt)),
-                         B_SCAN + j - pcnt)
-
-    # --- dense part: slots k < min(count, K0), pure per-splat broadcast ---
-    # K-MAJOR layout [K0, N]: slot order before the sort is irrelevant
-    # ((tile, depth) keys are unique per splat), and a k-major reshape(-1)
-    # is a concat of contiguous row copies — the splat-major [N, K0] layout
-    # materialized as an element-interleave, which XLA writes at the slow
-    # strided rate (~50 ms of the round-2 frame hid in these concats).
-    kd = jnp.arange(k0, dtype=jnp.int32)[:, None]          # [K0, 1]
-    dense_in = kd < counts[None, :]                        # [K0, N]
-    local_d = decode_local(hit_mask[None, :], pc[None, :], kd)
-    tile_id_d = tile_of(table[:, None, :], local_d, dense_in)  # [K0, N]
-    rank_d = jnp.broadcast_to(depth_bits[None, :], (k0, n))
-    gid_d = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (k0, n))
-
-    # --- remainder: slots k >= K0 of large splats, owner-lookup expansion ---
+    # --- remainder bookkeeping (shared by both emission paths) ---
     rem_counts = jnp.maximum(counts - k0, 0)
     rem_cum = _cumsum_flat(rem_counts)
     rem_needed = rem_cum[-1].astype(jnp.int32)
     rem_starts = (rem_cum - rem_counts).astype(jnp.int32)
-    rem_slots = jnp.arange(rem_cap, dtype=jnp.int32)
-    if jax.default_backend() == "cpu":
-        # Test path: owner lookup by binary search + gather (fine on CPU).
-        owner = jnp.clip(jnp.searchsorted(
-            rem_starts, rem_slots, side="right").astype(jnp.int32) - 1,
-            0, n - 1)
-        vals_r = table[:, owner]                           # [17, R]
-        start_r = rem_starts[owner]
-        start_r = jnp.where(rem_counts[owner] > 0, start_r, rem_cap)
-    else:
-        # TPU path: windowed one-hot MXU broadcast (ops/expand_pallas.py).
-        # Start indices ride as 12-bit limb rows so they stay exact past
-        # 2^24 (30M-slot stress regime); attribute rows are plain f32
-        # values and transport exactly through the one-hot matmul.
-        from brush_tpu.ops.expand_pallas import expand_segments
-        tbl19 = jnp.concatenate([
-            table,
-            (rem_starts % 4096).astype(jnp.float32)[None],
-            (rem_starts // 4096).astype(jnp.float32)[None],
-        ], axis=0)
-        filled = expand_segments(tbl19, rem_starts, rem_counts, rem_cap)
-        vals_r = filled[:17]                               # [17, R]
-        start_r = (filled[17].astype(jnp.int32)
-                   + filled[18].astype(jnp.int32) * 4096)
-    # Emission rank within the owner -> bbox-local via the owner's mask.
-    j_r = k0 + (rem_slots - start_r)
-    mask_r = (vals_r[15].astype(jnp.uint32)
-              | (vals_r[16].astype(jnp.uint32) << jnp.uint32(16)))
-    pc_r = jax.lax.population_count(mask_r).astype(jnp.int32)
-    local_r = decode_local(mask_r, pc_r, j_r)
-    # On remainder-capacity overflow the start markers of splats past
-    # rem_cap are dropped, so trailing slots inherit the last fitting owner
-    # with out-of-range emission ranks — the per-owner bound masks those
-    # phantom slots to the sentinel tile (the host retry loop is the
-    # recovery path; this keeps the truncated state non-corrupting).
-    rem_in = ((rem_slots < rem_needed) & (j_r >= 0)
-              & (j_r < vals_r[14].astype(jnp.int32)))
-    tile_id_r = tile_of(vals_r, local_r, rem_in)
-    rank_r = jax.lax.bitcast_convert_type(vals_r[10], jnp.int32)
-    gid_r = vals_r[9].astype(jnp.int32)
 
-    # --- concat + sort by (tile, depth bits) ---
-    # gid rides as the first PAYLOAD, not a third key: a 3rd key costs extra
-    # comparator work in every sorting-network stage (~10% of the whole
-    # sort, measured), and ties in (tile, depth_bits) require bitwise-equal
-    # depths — XLA's sorting network is a fixed program, so even those
-    # resolve deterministically (run-to-run identical; the reference's
-    # stable radix additionally pins tie order to gid, which only matters
-    # for bitwise-duplicate depths).
-    tile_id = jnp.concatenate([tile_id_d.reshape(-1), tile_id_r])
-    rank = jnp.concatenate([rank_d.reshape(-1), rank_r])
-    gid_all = jnp.concatenate([gid_d.reshape(-1), gid_r])
-    payload = [
-        jnp.concatenate([
-            jnp.broadcast_to(table[r][None, :], (k0, n)).reshape(-1),
-            vals_r[r],
-        ]) for r in range(9)                               # xy,conic,opac,rgb
-    ]
-    sorted_ops = jax.lax.sort(
-        (tile_id, rank, gid_all, *payload), num_keys=2, is_stable=False)
-    tile_sorted = sorted_ops[0]
-    gid_from_isect = sorted_ops[2]
-    soa_rows = sorted_ops[3:]
+    if jax.default_backend() == "cpu":
+        # Test/oracle path: plain jnp emission (owner lookup by binary
+        # search + gather — fine on CPU), k-major dense + remainder.
+        key, rows10, s_cap, eff_rem_cap = _emit_jnp(
+            table, hit_mask, counts, pc, depth_bits, rem_starts,
+            rem_needed, n, k0, rem_cap, tile_bw, num_tiles)
+    else:
+        # Production path: the fused emission kernel writes the sort
+        # operands in ONE pass (ops/emit_pallas.py) — the separate
+        # broadcasts/expansion/decodes/concats cost ~18 ms/frame as XLA ops.
+        from brush_tpu.ops.emit_pallas import emit_sizes, emit_slots
+        key, pays, gid_f = emit_slots(table, rem_starts, k0, rem_cap,
+                                      img_size)
+        rows10 = list(pays) + [gid_f]
+        # The kernel's remainder region is BLKS-padded; runs truncate at
+        # its edge, so surviving-slot counts use the padded capacity.
+        # Sizes come from the STATIC helper — emit_slots is jitted and
+        # would hand back traced scalars.
+        s_cap, _, eff_rem_cap = emit_sizes(n, k0, rem_cap)
+
+    # ONE u32 sort key (tile | truncated depth) + 5 bit-packed u64 payload
+    # operands — the measured cost law is per-operand (ops/tiling_key.py).
+    # gid rides as the 10th payload row. Ties (depths equal in kept bits)
+    # resolve deterministically by XLA's fixed sorting network; the golden
+    # suites gate this approximation.
+    key_sorted, rows_sorted = sort_packed(key, rows10)
+    gid_from_isect = rows_sorted[9].astype(jnp.int32)
 
     # Assemble the kernel SoA with the block-pipelined Pallas stack (XLA's
     # own 1-D-rows -> matrix stack measured ~280 ms at 24M lanes); the tail
@@ -376,12 +307,10 @@ def build_intersections(
     # inert, and the width rounds up past LANE_PAD so window DMAs stay
     # in bounds.
     from brush_tpu.ops.scan_pallas import stack_rows
-    soa = stack_rows(
-        list(soa_rows) + [gid_from_isect.astype(jnp.float32)],
-        SOA_ROWS, s_cap + LANE_PAD)
+    soa = stack_rows(rows_sorted, SOA_ROWS, s_cap + LANE_PAD)
 
     bounds = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=tile_sorted.dtype),
+        key_sorted, tile_boundary_keys(num_tiles),
         side="left").astype(jnp.int32)         # T+1 queries: cheap direction
     counts_t = bounds[1:] - bounds[:-1]        # [T]
     tile_ranges = jnp.stack([bounds[:-1], bounds[1:]], axis=-1)
@@ -394,10 +323,11 @@ def build_intersections(
     # Per-splat surviving-slot counts for the backward's sorted-order
     # segment reduce: every emitted slot lands in a REAL tile's range
     # (exact-count emission — non-contributing pairs were never emitted),
-    # EXCEPT remainder slots truncated by rem_cap overflow, so the emitted
-    # count is just the exact count clipped to each splat's available
-    # remainder room.
-    avail_rem = jnp.clip(rem_cap - rem_starts, 0, None)
+    # EXCEPT remainder slots truncated by remainder-capacity overflow, so
+    # the emitted count is just the exact count clipped to each splat's
+    # available remainder room (eff_rem_cap = the emission path's true
+    # remainder width: rem_cap on the jnp path, BLKS-padded in the kernel).
+    avail_rem = jnp.clip(eff_rem_cap - rem_starts, 0, None)
     emitted = jnp.minimum(counts, k0 + avail_rem)
     gcum = _cumsum_flat(emitted)
     surv_starts_g = (gcum - emitted).astype(jnp.int32)
@@ -414,3 +344,68 @@ def build_intersections(
         surv_starts_g=surv_starts_g,
         surv_counts_g=emitted.astype(jnp.int32),
     )
+
+
+def _emit_jnp(table, hit_mask, counts, pc, depth_bits, rem_starts,
+              rem_needed, n, k0, rem_cap, tile_bw, num_tiles):
+    """jnp slot emission (CPU oracle for ops/emit_pallas.emit_slots).
+
+    Dense region k-major [K0, N] + remainder region [rem_cap]. Returns
+    (combined key u32 [S], 10 payload rows f32 [S] (xy, conic, opac, rgb,
+    gid), s_cap, eff_rem_cap)."""
+
+    def tile_of(vals, local, in_range):
+        bb_w = jnp.maximum(vals[13].astype(jnp.int32), 1)
+        tx = vals[11].astype(jnp.int32) + local % bb_w
+        ty = vals[12].astype(jnp.int32) + local // bb_w
+        return jnp.where(in_range, ty * tile_bw + tx, num_tiles)
+
+    def decode_local(mask, pcnt, j):
+        """Bbox-local index of a splat's j-th emitted slot: the j-th set
+        mask bit for j < popcount, else the bbox tail past B_SCAN."""
+        return jnp.where(j < pcnt, _select_bit(mask, jnp.minimum(j, pcnt)),
+                         B_SCAN + j - pcnt)
+
+    # --- dense part: slots k < min(count, K0), pure per-splat broadcast ---
+    kd = jnp.arange(k0, dtype=jnp.int32)[:, None]          # [K0, 1]
+    dense_in = kd < counts[None, :]                        # [K0, N]
+    local_d = decode_local(hit_mask[None, :], pc[None, :], kd)
+    tile_id_d = tile_of(table[:, None, :], local_d, dense_in)  # [K0, N]
+    rank_d = jnp.broadcast_to(depth_bits[None, :], (k0, n))
+
+    # --- remainder: slots k >= K0 of large splats, owner lookup ---
+    rem_slots = jnp.arange(rem_cap, dtype=jnp.int32)
+    owner = jnp.clip(jnp.searchsorted(
+        rem_starts, rem_slots, side="right").astype(jnp.int32) - 1,
+        0, n - 1)
+    vals_r = table[:, owner]                               # [17, R]
+    rem_counts_o = jnp.maximum(vals_r[14].astype(jnp.int32) - k0, 0)
+    start_r = jnp.where(rem_counts_o > 0, rem_starts[owner], rem_cap)
+    j_r = k0 + (rem_slots - start_r)
+    mask_r = (vals_r[15].astype(jnp.uint32)
+              | (vals_r[16].astype(jnp.uint32) << jnp.uint32(16)))
+    pc_r = jax.lax.population_count(mask_r).astype(jnp.int32)
+    local_r = decode_local(mask_r, pc_r, j_r)
+    # On remainder-capacity overflow the start markers of splats past
+    # rem_cap are dropped, so trailing slots inherit the last fitting owner
+    # with out-of-range emission ranks — the per-owner bound masks those
+    # phantom slots to the sentinel tile (the host retry loop is the
+    # recovery path; this keeps the truncated state non-corrupting).
+    rem_in = ((rem_slots < rem_needed) & (j_r >= 0)
+              & (j_r < vals_r[14].astype(jnp.int32)))
+    tile_id_r = tile_of(vals_r, local_r, rem_in)
+    rank_r = jax.lax.bitcast_convert_type(vals_r[10], jnp.int32)
+
+    tile_id = jnp.concatenate([tile_id_d.reshape(-1), tile_id_r])
+    rank = jnp.concatenate([rank_d.reshape(-1), rank_r])
+    key = combined_key(tile_id, rank, num_tiles)
+    rows10 = [
+        jnp.concatenate([
+            jnp.broadcast_to(table[r][None, :], (k0, n)).reshape(-1),
+            vals_r[r],
+        ]) for r in range(9)                               # xy,conic,opac,rgb
+    ] + [jnp.concatenate([
+        jnp.broadcast_to(table[9][None, :], (k0, n)).reshape(-1),
+        vals_r[9],
+    ])]                                                    # gid (f32)
+    return key, rows10, n * k0 + rem_cap, rem_cap

@@ -31,6 +31,11 @@ from brush_tpu.train.splat_init import create_random_splats, to_init_splats
 from brush_tpu.train.trainer import (
     SceneBatch, TrainState, init_train_state, train_step)
 
+# Host-byte budget for cached packed eval views (the reference byte-budgets
+# its packed-batch cache at 6 GiB, brush-dataset/src/config.rs:8; eval
+# splits are smaller, and these live in HOST memory, not HBM).
+EVAL_CACHE_BUDGET = 2 << 30
+
 
 @dataclasses.dataclass
 class ProcessConfig:
@@ -433,26 +438,44 @@ def train_process(
 def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader,
               cache=None):
     """Evaluate on the eval split. `cache` (a dict owned by the caller's
-    run) keeps the decoded+packed eval views on device across evals — the
-    reference byte-budget-caches packed batches the same way
-    (scene_loader.rs:57-163); without it every eval re-decodes O(views)
-    PNGs on a 1-CPU host."""
+    run) keeps the decoded+packed eval views across evals — the reference
+    byte-budget-caches packed batches the same way (scene_loader.rs:57-163);
+    without it every eval re-decodes O(views) PNGs on a 1-CPU host.
+
+    The cache is byte-budgeted like the reference's (config.rs:8): packed
+    views are kept as HOST numpy up to EVAL_CACHE_BUDGET bytes — never
+    pinned in HBM, where a large eval split at high resolution could crowd
+    out training state — and transferred per eval; views past the budget
+    are re-decoded each eval."""
     from brush_tpu.data.scene import load_image, pack_rgba
 
     key = ("eval_pairs", lcfg.max_resolution, lcfg.alpha_mode)
     if cache is None or key not in cache:
-        pairs = []
+        cached_pairs = []   # (camera, packed ndarray) within budget
+        tail_views = []     # views past the budget: re-decode per eval
         img_size = None
+        budget = EVAL_CACHE_BUDGET
         for v in ds.eval.views:
+            if budget <= 0:
+                tail_views.append(v)
+                continue
             arr, _ = load_image(ds.eval.vfs, v.image_path,
                                 lcfg.max_resolution, mask_path=v.mask_path)
             packed = pack_rgba(arr, lcfg.alpha_mode)
-            pairs.append((v.camera, jnp.asarray(packed)))
+            budget -= packed.nbytes
+            cached_pairs.append((v.camera, packed))
             img_size = (packed.shape[1], packed.shape[0])
         if cache is not None:
-            cache[key] = (pairs, img_size)
+            cache[key] = (cached_pairs, tail_views, img_size)
     else:
-        pairs, img_size = cache[key]
+        cached_pairs, tail_views, img_size = cache[key]
+    pairs = [(cam, jnp.asarray(packed)) for cam, packed in cached_pairs]
+    for v in tail_views:
+        arr, _ = load_image(ds.eval.vfs, v.image_path,
+                            lcfg.max_resolution, mask_path=v.mask_path)
+        packed = pack_rgba(arr, lcfg.alpha_mode)
+        pairs.append((v.camera, jnp.asarray(packed)))
+        img_size = img_size or (packed.shape[1], packed.shape[0])
     rcfg = RenderConfig(img_size=img_size, sh_degree=pcfg.sh_degree,
                         isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
     stats = eval_views(state.splats, pairs, rcfg,

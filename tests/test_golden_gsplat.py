@@ -8,6 +8,7 @@ by the autodiff-oracle and finite-difference suites instead.
 """
 
 import pathlib
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -82,9 +83,12 @@ def test_mix_case_regression():
     follow the reference generator's mix recipe exactly (seed 6, n=76873,
     means spread +-1000, scales log(U*15+0.05): test_cases/
     generate_reference.py); the golden image is this repo's own jnp oracle
-    output, frozen by tests/data/generate_mix_case.py — a regression lock
-    on the regime, not a gsplat parity claim."""
-    d = load_file(DATA / "mix_case_jnp.safetensors")
+    output, digest-locked by tests/data/generate_mix_case.py (rendered on
+    demand into a gitignored cache; sha256 drift fails loudly) — a
+    regression lock on the regime, not a gsplat parity claim."""
+    sys.path.insert(0, str(DATA))
+    from generate_mix_case import mix_case_path
+    d = load_file(mix_case_path())
     h, w = d["out_img"].shape[:2]
     img = (w, h)
     cam_host = Camera(

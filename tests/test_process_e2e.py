@@ -152,26 +152,36 @@ def test_eval_cache_decodes_once(tmp_path, monkeypatch):
                          export_path=str(tmp_path / "o_{iter}.ply"),
                          init_count=16, sh_degree=0, use_pallas=False)
 
+    import brush_tpu.data.dataloader as loader_mod
     import brush_tpu.data.scene as scene_mod
-    calls = {"n": 0}
+    calls = {"eval": 0, "train": 0}
     real_load = scene_mod.load_image
 
-    def counting_load(*a, **k):
-        calls["n"] += 1
+    def eval_counting_load(*a, **k):
+        # _run_eval late-binds `from brush_tpu.data.scene import load_image`
+        # at call time, so this patch counts exactly the eval decodes.
+        calls["eval"] += 1
         return real_load(*a, **k)
 
-    monkeypatch.setattr(scene_mod, "load_image", counting_load)
+    def train_counting_load(*a, **k):
+        # The dataloader bound load_image at import time; patch its module
+        # binding too so a future late-binding refactor cannot silently
+        # route train-thread decodes into the eval counter.
+        calls["train"] += 1
+        return real_load(*a, **k)
+
+    monkeypatch.setattr(scene_mod, "load_image", eval_counting_load)
+    monkeypatch.setattr(loader_mod, "load_image", train_counting_load)
 
     evals = 0
     counts_at_eval = []
     for msg in train_process(str(tmp_path / "scene"), tcfg, lcfg, pcfg):
         if msg.kind == "eval":
             evals += 1
-            counts_at_eval.append(calls["n"])
+            counts_at_eval.append(calls["eval"])
     assert evals >= 2
-    # Every decode after the first eval belongs to the train loader, never
-    # to eval: the eval-attributable delta between evals must be zero.
-    # Train-loader decodes run on threads, so compare against the eval
-    # batch size directly: first eval decoded the split, later evals +0.
+    # The first eval decodes the whole split; every later eval must be
+    # served from the cache — the eval-attributable delta is exactly zero.
     n_eval_views = 2  # 4 views, every-2nd held out
-    assert counts_at_eval[-1] - counts_at_eval[0] < n_eval_views
+    assert counts_at_eval[0] == n_eval_views
+    assert counts_at_eval[-1] == counts_at_eval[0]
