@@ -46,9 +46,12 @@ def main():
     cam_in = camera_inputs(cam, img)
     k0, rem_cap = plan_caps(splats.means, splats.log_scales, splats.quats,
                             splats.raw_opacities, cam_in, img)
+    # forward_only mirrors the reference's viewer/inference render path
+    # (rasterize.rs:172-177 fwd-only kernel; SURVEY §3.3) — the 60 FPS
+    # north-star target is viewer rendering.
     rcfg = RenderConfig(img_size=img, sh_degree=0,
                         isect_cap=rem_cap, expand_k0=k0,
-                        use_pallas=True)
+                        use_pallas=True, forward_only=True)
     bg = jnp.zeros(3, jnp.float32)
 
     @jax.jit

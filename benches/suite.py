@@ -6,9 +6,17 @@
   backward: {1M, 2M, 5M} @1080p; 2M @ the 4 resolutions
   train   : full trainer step {0.5M, 1M, 2.5M} @1080p
 
-Run on the real TPU:   python benches/suite.py [forward|backward|train|all]
-Each result prints one JSON line; a summary table prints at the end.
-`bench.py` at the repo root remains the driver's single headline metric.
+Splats are generated at sh_degree=0 like the reference's gen_splats
+(benches.rs:100 `.with_sh_degree(0)`); forward rows run the fwd-only
+kernel specialization (the reference's inference pass, rasterize.rs:
+172-177); backward/train rows run the full training kernels. Capacities
+come from the scene-counting planner (ops/capacity.py) exactly as
+production rendering plans them.
+
+Run on the real TPU:
+  python benches/suite.py [forward|backward|train|all] [--json PATH]
+Each result prints one JSON line; a summary table prints at the end;
+--json writes the whole matrix as one artifact (SUITE_r{N}.json).
 """
 
 from __future__ import annotations
@@ -27,25 +35,32 @@ RESOLUTIONS = {
 }
 
 
-def _setup(n_splats, img, sh_degree=3):
+def _setup(n_splats, img, forward_only):
     import jax.numpy as jnp
 
     from brush_tpu.camera import Camera
+    from brush_tpu.ops.capacity import plan_caps
     from brush_tpu.render import RenderConfig, camera_inputs
-    from brush_tpu.utils.synthetic import bench_splats
 
+    cam, splats = _scene(n_splats, img)
+    cam_in = camera_inputs(cam, img)
+    k0, rem_cap = plan_caps(splats.means, splats.log_scales, splats.quats,
+                            splats.raw_opacities, cam_in, img)
+    rcfg = RenderConfig(img_size=img, sh_degree=0,
+                        isect_cap=rem_cap, expand_k0=k0,
+                        use_pallas=True, forward_only=forward_only)
+    args = (splats.means, splats.log_scales, splats.quats,
+            splats.sh_coeffs, splats.raw_opacities)
+    return args, cam_in, rcfg, jnp.zeros(3, jnp.float32)
+
+
+def _scene(n_splats, img):
+    from brush_tpu.camera import Camera
+    from brush_tpu.utils.synthetic import bench_splats
     cam = Camera(position=np.array([0.0, 0.0, -18.0]),
                  rotation=np.array([1.0, 0.0, 0.0, 0.0]),
                  fov_x=1.0, fov_y=1.0 * img[1] / img[0])
-    splats = bench_splats(n_splats, sh_degree=sh_degree)
-    # The synthetic scene averages ~15 bbox tiles/splat: K0=16 keeps most
-    # slots on the dense expansion; remainder capacity scales with count.
-    rcfg = RenderConfig(img_size=img, sh_degree=sh_degree,
-                        isect_cap=1 << min(24, max(22, n_splats.bit_length() + 3)),
-                        expand_k0=16, use_pallas=True)
-    args = (splats.means, splats.log_scales, splats.quats,
-            splats.sh_coeffs, splats.raw_opacities)
-    return args, camera_inputs(cam, img), rcfg, jnp.zeros(3, jnp.float32)
+    return cam, bench_splats(n_splats, sh_degree=0)
 
 
 def _time(fn, args, iters=10):
@@ -83,7 +98,7 @@ def bench_forward():
               (500_000, 1_000_000, 2_500_000)] +
              [(2_000_000, r) for r in RESOLUTIONS.values()])
     for n, img in cases:
-        args, cam, rcfg, bg = _setup(n, img)
+        args, cam, rcfg, bg = _setup(n, img, forward_only=True)
 
         @jax.jit
         def fwd(*a):
@@ -106,7 +121,7 @@ def bench_backward():
               (1_000_000, 2_000_000, 5_000_000)] +
              [(2_000_000, r) for r in RESOLUTIONS.values()])
     for n, img in cases:
-        args, cam, rcfg, bg = _setup(n, img)
+        args, cam, rcfg, bg = _setup(n, img, forward_only=False)
 
         @jax.jit
         def bwd(*a):
@@ -125,28 +140,27 @@ def bench_train():
     import jax
     import jax.numpy as jnp
 
-    from brush_tpu.camera import Camera
+    from brush_tpu.ops.capacity import plan_caps
     from brush_tpu.ops.loss import pack_gt
     from brush_tpu.render import RenderConfig, camera_inputs
     from brush_tpu.train.config import TrainConfig
     from brush_tpu.train.trainer import (
         SceneBatch, init_train_state, train_step)
-    from brush_tpu.utils.synthetic import bench_splats
 
     results = []
     img = RESOLUTIONS["1080p"]
     for n in (500_000, 1_000_000, 2_500_000):
-        splats = bench_splats(n, sh_degree=3)
-        cam = Camera(position=np.array([0.0, 0.0, -18.0]),
-                     rotation=np.array([1.0, 0.0, 0.0, 0.0]),
-                     fov_x=1.0, fov_y=1.0 * img[1] / img[0])
+        cam, splats = _scene(n, img)
+        cam_in = camera_inputs(cam, img)
+        k0, rem_cap = plan_caps(splats.means, splats.log_scales,
+                                splats.quats, splats.raw_opacities,
+                                cam_in, img)
         rng = np.random.default_rng(0)
         gt = pack_gt(rng.uniform(0, 1, (img[1], img[0], 3))
                      .astype(np.float32))
-        batch = SceneBatch(gt_packed=jnp.asarray(gt),
-                           cam=camera_inputs(cam, img))
-        rcfg = RenderConfig(img_size=img, sh_degree=3, isect_cap=1 << 23,
-                            expand_k0=16, use_pallas=True)
+        batch = SceneBatch(gt_packed=jnp.asarray(gt), cam=cam_in)
+        rcfg = RenderConfig(img_size=img, sh_degree=0, isect_cap=rem_cap,
+                            expand_k0=k0, use_pallas=True)
         tcfg = TrainConfig()
         state = init_train_state(splats, jax.random.PRNGKey(0), 3.0)
         step = jax.jit(lambda s, b: train_step(s, b, tcfg, rcfg),
@@ -169,7 +183,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = args[0] if args else "all"
     out = []
     if which in ("forward", "all"):
         out += bench_forward()
@@ -181,6 +196,18 @@ def main():
     for r in out:
         print(f"{r['metric']:>34}: {r['value']:>9.2f} ms "
               f"({r['fps']:.1f}/s)")
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump({
+                "device": jax.devices()[0].device_kind,
+                "note": ("reference bench matrix, benches.rs:223-305; "
+                         "sh_degree=0 splats (benches.rs:100); forward "
+                         "rows = fwd-only kernel, backward/train rows = "
+                         "training kernels; capacities from plan_caps"),
+                "results": out,
+            }, f, indent=1)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -45,8 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from brush_tpu.ops.tiling_key import B_SCAN
 
-BLKS = 4096     # slots per grid step (and dense table window width)
-W = 256         # remainder owner-window width (gids per DMA)
+import os as _os
+
+# Slots per grid step (and dense table window width) / remainder
+# owner-window width (gids per DMA). Env-overridable for perf experiments.
+BLKS = int(_os.environ.get("BRUSH_TPU_EMIT_BLKS", "4096"))
+W = int(_os.environ.get("BRUSH_TPU_EMIT_W", "256"))
 
 
 def _select_bit(mask_u32, j):

@@ -103,9 +103,9 @@ def _window(buf_slot, r):
 def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                 soa_ref,               # [16, S+pad] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
-                out_ref,               # [1, 8, 256] VMEM block per tile
+                out_ref,               # [1, 8|4, 256] VMEM block per tile
                 buf, sem,              # scratch: [2, 16, W] VMEM, DMA sems (2,)
-                *, tile_bw: int):
+                *, tile_bw: int, fwd_only: bool):
     t = pl.program_id(0)
     # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded to
     # x128, blowing the 1 MB SMEM budget at 1080p tile counts.
@@ -193,10 +193,11 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
         done_out = done_in | crossed
         t_signed = jnp.where(done_out, -t_new, t_new)
 
-        useful = jnp.max(jnp.where(
-            jnp.any(blended & (a > 0.0), axis=0, keepdims=True),
-            isect + 1, 0))
-        last_useful = jnp.maximum(last_useful, useful)
+        if not fwd_only:
+            useful = jnp.max(jnp.where(
+                jnp.any(blended & (a > 0.0), axis=0, keepdims=True),
+                isect + 1, 0))
+            last_useful = jnp.maximum(last_useful, useful)
         ndone = jnp.sum(done_out.astype(jnp.int32))
 
         return (c + 1, rgb, t_signed, ndone, last_useful)
@@ -225,26 +226,34 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
     out_ref[0, 1, :] = rgb[:, 1] + t_final[:, 0] * bg_g
     out_ref[0, 2, :] = rgb[:, 2] + t_final[:, 0] * bg_b
     out_ref[0, 3, :] = 1.0 - t_final[:, 0]
-    out_ref[0, 4, :] = t_final[:, 0]
-    # Row 5: useful range length for the backward pass (rasterize.rs:181-187
-    # tile-range shrinking). Small enough to be exact in f32.
-    useful_len = (jnp.maximum(last_useful, start) - start).astype(jnp.float32)
-    out_ref[0, 5, :] = jnp.full((TILE_PIX,), 1.0, jnp.float32) * useful_len
-    out_ref[0, 6, :] = jnp.zeros((TILE_PIX,), jnp.float32)
-    out_ref[0, 7, :] = jnp.zeros((TILE_PIX,), jnp.float32)
+    if not fwd_only:
+        out_ref[0, 4, :] = t_final[:, 0]
+        # Row 5: useful range length for the backward pass
+        # (rasterize.rs:181-187 tile-range shrinking). Exact in f32.
+        useful_len = (jnp.maximum(last_useful, start)
+                      - start).astype(jnp.float32)
+        out_ref[0, 5, :] = jnp.full((TILE_PIX,), 1.0, jnp.float32) * useful_len
+        out_ref[0, 6, :] = jnp.zeros((TILE_PIX,), jnp.float32)
+        out_ref[0, 7, :] = jnp.zeros((TILE_PIX,), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("img_size", "interpret"))
-def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
-    """Rasterize the sorted [16, S+pad] SoA -> tile image [T, 8, 256].
+@functools.partial(jax.jit,
+                   static_argnames=("img_size", "interpret", "fwd_only"))
+def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
+                             fwd_only=False):
+    """Rasterize the sorted [16, S+pad] SoA -> tile image [T, R, 256].
 
-    Tile rows: 0..2 rgb, 3 alpha, 4 final transmittance, 5 useful-range
-    length (for the backward pass), 6..7 padding.
+    Tile rows: 0..2 rgb, 3 alpha, and (training variant only) 4 final
+    transmittance, 5 useful-range length (for the backward pass), 6..7
+    padding. `fwd_only=True` is the reference's inference specialization
+    (rasterize.rs:172-177 comptime `bwd_info=false`): R=4, no
+    backward bookkeeping computed or written.
     """
     img_w, img_h = img_size
     tbw = -(-img_w // TILE_WIDTH)
     tbh = -(-img_h // TILE_WIDTH)
     n_tiles = tbw * tbh
+    n_rows = 4 if fwd_only else 8
 
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1)]).reshape(1, 4)
 
@@ -255,7 +264,8 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
             pl.BlockSpec(memory_space=pl.ANY),   # soa (manual DMA)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bg
         ],
-        out_specs=pl.BlockSpec((1, 8, TILE_PIX), lambda t, ranges: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, n_rows, TILE_PIX),
+                               lambda t, ranges: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, SOA_ROWS, W), jnp.float32),
@@ -263,11 +273,12 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False):
         ],
     )
 
-    kernel = functools.partial(_fwd_kernel, tile_bw=tbw)
+    kernel = functools.partial(_fwd_kernel, tile_bw=tbw, fwd_only=fwd_only)
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_rows, TILE_PIX),
+                                       jnp.float32),
         interpret=interpret,
     )(tile_ranges.reshape(-1), soa, bg4)
     return tiles

@@ -51,7 +51,12 @@ from brush_tpu.ops.tiling_key import (
 # 0 xy_x, 1 xy_y, 2 conic00, 3 conic01, 4 conic11, 5 opacity, 6..8 rgb,
 # 9 gid (exact in f32: gid < 2^24), 10..15 zero padding.
 SOA_ROWS = 16
-CK = 256          # rasterizer chunk length (lanes)
+# Rasterizer chunk length (lanes). Must be a multiple of 256 (the backward's
+# chunk-indexed gradient blocks rely on CK-multiple lane offsets satisfying
+# Mosaic's 128-lane DMA alignment). Env-overridable for perf experiments.
+import os as _os
+CK = int(_os.environ.get("BRUSH_TPU_CK", "256"))
+assert CK % 256 == 0, CK
 LANE_PAD = CK + 128  # soa tail padding so window reads never run off the end
 
 # B_SCAN (exact gaussian-vs-tile test width) lives in ops/tiling_key.py —
@@ -67,6 +72,11 @@ class Intersections(NamedTuple):
     num_isects: jnp.ndarray    # [] int32 REMAINDER slots needed — the
     #   overflow predicate is num_isects > isect_cap (dense slots never
     #   overflow; the default chunk_cap bound is safe by construction)
+    num_bbox_tail: jnp.ndarray  # [] int32 slots emitted under bbox-tail
+    #   semantics (giant splats whose bbox exceeds B_SCAN exact-test slots)
+    #   — observability for the exact-emission saving claim: if this is a
+    #   large fraction of num_isects the ~25-40% slot reduction is not
+    #   being realized on this scene (ops/tiling.py B_SCAN note).
     num_isects_aligned: jnp.ndarray  # [] int32 chunk-space slots used (NC*CK)
     gid_from_isect: jnp.ndarray   # [S] global splat id per sorted slot
     tile_ranges: jnp.ndarray   # [T,2] raw (start, end) in sorted order
@@ -212,6 +222,7 @@ def build_intersections(
     isect_cap: int,
     expand_k0: int = 4,
     chunk_cap: int | None = None,
+    with_bwd_info: bool = True,
 ) -> Intersections:
     # Binning decisions and the rasterizer SoA carry no gradient: parameter
     # cotangents are manufactured by the rasterizer's custom VJP (per-splat,
@@ -244,6 +255,7 @@ def build_intersections(
     # pixel). Locals >= B_SCAN (giant splats) keep bbox semantics.
     hit_mask, counts = exact_tile_counts(proj)             # [N] u32, [N] i32
     pc = jax.lax.population_count(hit_mask).astype(jnp.int32)
+    num_bbox_tail = jnp.sum(counts - pc).astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(proj.depth, 0.0), jnp.int32)
 
@@ -293,13 +305,20 @@ def build_intersections(
         # would hand back traced scalars.
         s_cap, _, eff_rem_cap = emit_sizes(n, k0, rem_cap)
 
-    # ONE u32 sort key (tile | truncated depth) + 5 bit-packed u64 payload
-    # operands — the measured cost law is per-operand (ops/tiling_key.py).
-    # gid rides as the 10th payload row. Ties (depths equal in kept bits)
-    # resolve deterministically by XLA's fixed sorting network; the golden
-    # suites gate this approximation.
-    key_sorted, rows_sorted = sort_packed(key, rows10)
-    gid_from_isect = rows_sorted[9].astype(jnp.int32)
+    # ONE u32 sort key (tile | truncated depth) + bit-packed payload
+    # operands — the measured cost law is per-BYTE (ops/tiling_key.py).
+    # gid rides as the 10th payload row ONLY when the backward needs it
+    # (the reference's bwd_info comptime split, rasterize.rs:172-177):
+    # forward-only rendering sorts 9 rows = 4 u64 + 1 u32 operands.
+    # Ties (depths equal in kept bits) resolve deterministically by XLA's
+    # fixed sorting network; the golden suites gate this approximation.
+    sort_rows = rows10 if with_bwd_info else rows10[:9]
+    key_sorted, rows_sorted = sort_packed(key, sort_rows)
+    if with_bwd_info:
+        gid_from_isect = rows_sorted[9].astype(jnp.int32)
+    else:
+        gid_from_isect = jnp.zeros((0,), jnp.int32)
+        rows_sorted = rows_sorted + [jnp.zeros_like(rows_sorted[0])]
 
     # Assemble the kernel SoA with the block-pipelined Pallas stack (XLA's
     # own 1-D-rows -> matrix stack measured ~280 ms at 24M lanes); the tail
@@ -327,14 +346,20 @@ def build_intersections(
     # the emitted count is just the exact count clipped to each splat's
     # available remainder room (eff_rem_cap = the emission path's true
     # remainder width: rem_cap on the jnp path, BLKS-padded in the kernel).
-    avail_rem = jnp.clip(eff_rem_cap - rem_starts, 0, None)
-    emitted = jnp.minimum(counts, k0 + avail_rem)
-    gcum = _cumsum_flat(emitted)
-    surv_starts_g = (gcum - emitted).astype(jnp.int32)
+    # Forward-only rendering has no backward reduce — skip the cumsum.
+    if with_bwd_info:
+        avail_rem = jnp.clip(eff_rem_cap - rem_starts, 0, None)
+        emitted = jnp.minimum(counts, k0 + avail_rem)
+        gcum = _cumsum_flat(emitted)
+        surv_starts_g = (gcum - emitted).astype(jnp.int32)
+    else:
+        emitted = jnp.zeros((0,), jnp.int32)
+        surv_starts_g = jnp.zeros((0,), jnp.int32)
 
     return Intersections(
         num_visible=num_visible,
         num_isects=rem_needed,
+        num_bbox_tail=num_bbox_tail,
         num_isects_aligned=(num_chunks * CK).astype(jnp.int32),
         gid_from_isect=gid_from_isect,
         tile_ranges=tile_ranges,

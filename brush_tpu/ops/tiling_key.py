@@ -59,17 +59,19 @@ def tile_boundary_keys(num_tiles: int):
 
 def pack_pairs_u64(rows):
     """Bit-pack consecutive f32 row pairs into u64 rows (lo = even row).
-    Odd row counts get a zero row appended. Trace under jax.enable_x64()."""
+    An odd trailing row stays a plain u32 operand (sort cost is per BYTE —
+    padding it to u64 would buy nothing and cost half an operand). Trace
+    under jax.enable_x64()."""
     rows = list(rows)
-    if len(rows) % 2:
-        rows.append(jnp.zeros_like(rows[0]))
     out = []
-    for i in range(0, len(rows), 2):
+    for i in range(0, len(rows) - 1, 2):
         lo = jax.lax.bitcast_convert_type(rows[i], jnp.uint32
                                           ).astype(jnp.uint64)
         hi = jax.lax.bitcast_convert_type(rows[i + 1], jnp.uint32
                                           ).astype(jnp.uint64)
         out.append(lo | (hi << jnp.uint64(32)))
+    if len(rows) % 2:
+        out.append(jax.lax.bitcast_convert_type(rows[-1], jnp.uint32))
     return out
 
 
@@ -77,6 +79,9 @@ def unpack_pairs_u64(packed, n_rows: int):
     """Inverse of pack_pairs_u64 -> n_rows f32 arrays."""
     rows = []
     for p in packed:
+        if p.dtype == jnp.uint32:
+            rows.append(jax.lax.bitcast_convert_type(p, jnp.float32))
+            continue
         lo = (p & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         hi = (p >> jnp.uint64(32)).astype(jnp.uint32)
         rows.append(jax.lax.bitcast_convert_type(lo, jnp.float32))

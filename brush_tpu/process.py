@@ -133,6 +133,35 @@ def view_camera_arrays(ds: Dataset, max_resolution: int):
             jnp.asarray(np.array(focals), jnp.float32))
 
 
+def _attach_scene_to_slot(slot, ds: Dataset, lcfg) -> None:
+    """Expose dataset view poses + lazy GT decode to a live viewer
+    (nearest-view snapping / training-view compare, SURVEY Appendix F)."""
+    views = []
+    all_views = []
+    for split, scene in (("train", ds.train), ("eval", ds.eval)):
+        if scene is None:
+            continue
+        for v in scene.views:
+            views.append(dict(
+                name=v.image_path.rsplit("/", 1)[-1], split=split,
+                position=[float(x) for x in v.camera.position],
+                rotation=[float(x) for x in v.camera.rotation],
+                fov_x=float(v.camera.fov_x), fov_y=float(v.camera.fov_y)))
+            all_views.append((scene.vfs, v))
+
+    def gt_fn(i: int, max_dim: int = 640):
+        from brush_tpu.data.scene import load_image
+        vfs, v = all_views[i]
+        arr, _ = load_image(vfs, v.image_path, min(max_dim, 4096),
+                            mask_path=v.mask_path)
+        import numpy as _np
+        return (_np.clip(_np.asarray(arr[..., :3], _np.float32), 0, 1)
+                * 255).astype(_np.uint8)
+
+    slot.scene_views = views
+    slot.gt_fn = gt_fn
+
+
 def train_process(
     source: str,
     tcfg: TrainConfig | None = None,
@@ -156,6 +185,8 @@ def train_process(
     ds = load_dataset(source, lcfg)
     if telem:
         telem.log_scene(ds)
+    if slot is not None:
+        _attach_scene_to_slot(slot, ds, lcfg)
     splats = init_splats_for_dataset(ds, tcfg, pcfg)
     state = init_train_state(splats, jax.random.PRNGKey(pcfg.seed))
 
@@ -309,6 +340,10 @@ def train_process(
                 num_visible=int(stats.num_visible),
                 splats=int(state.splats.n_alive),
                 isects=n_isects,
+                # Slots emitted under bbox-tail semantics (exact tile test
+                # bypassed past B_SCAN): monitors the exact-emission saving
+                # on real scenes (no-silent-caps).
+                bbox_tail_isects=int(aux.num_bbox_tail),
                 sps=pcfg.log_every / max(
                     time.perf_counter() - t_start, 1e-9),
             ))
@@ -477,7 +512,8 @@ def _run_eval(state, ds, lcfg, pcfg, it, isect_cap, loader,
         pairs.append((v.camera, jnp.asarray(packed)))
         img_size = img_size or (packed.shape[1], packed.shape[0])
     rcfg = RenderConfig(img_size=img_size, sh_degree=pcfg.sh_degree,
-                        isect_cap=isect_cap, use_pallas=pcfg.use_pallas)
+                        isect_cap=isect_cap, use_pallas=pcfg.use_pallas,
+                        forward_only=pcfg.use_pallas)
     stats = eval_views(state.splats, pairs, rcfg,
                        save_dir=pcfg.eval_save_to_disk, step=it)
     return TrainMessage("eval", it, dict(psnr=stats.psnr, ssim=stats.ssim))

@@ -51,6 +51,11 @@ class RenderConfig:
     chunk: int = 32
     smooth_cutoff: bool = False        # test-only C^1 alpha cutoff
     use_pallas: bool = False           # production Pallas kernels
+    forward_only: bool = False         # inference specialization: skip ALL
+    #   backward bookkeeping (gid sort payload, surv-segment cumsums,
+    #   final_T/useful-range outputs) — the reference's comptime
+    #   bwd_info=false kernel variant (rasterize.rs:172-177). The returned
+    #   image carries no gradients.
 
     @property
     def tile_grid(self) -> Tuple[int, int]:
@@ -73,6 +78,9 @@ class RenderAux:
     num_visible: jnp.ndarray        # [] int32
     num_isects: jnp.ndarray         # [] int32 remainder slots needed —
     #   compare against isect_cap for overflow/retry!
+    num_bbox_tail: jnp.ndarray      # [] int32 slots on bbox-tail semantics
+    #   (exact gaussian-vs-tile test bypassed past B_SCAN) — telemetry for
+    #   the exact-emission saving (VERDICT r3 #9; no-silent-caps rule)
     max_isects_per_tile: jnp.ndarray  # [] int32 — compare against max_per_tile!
     visible: jnp.ndarray            # [N] 1.0 where splat contributed
     max_radius: jnp.ndarray         # [N] screen-fraction radius
@@ -136,10 +144,12 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
             means, log_scales, quats, sh_coeffs, raw_opacities, cam,
             cfg.img_size, sh_degree=cfg.sh_degree, model=cfg.model,
             mip_splatting=cfg.mip_splatting)
+    fwd_only = cfg.forward_only and cfg.use_pallas
     with jax.named_scope("TileBinning"):
         isect = build_intersections(proj, cfg.img_size, cfg.isect_cap,
                                     expand_k0=cfg.expand_k0,
-                                    chunk_cap=cfg.chunk_cap)
+                                    chunk_cap=cfg.chunk_cap,
+                                    with_bwd_info=not fwd_only)
 
     n = means.shape[0]
     if refine_holder is None:
@@ -147,7 +157,15 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
     if visible_holder is None:
         visible_holder = jnp.zeros(n, jnp.float32)
 
-    if cfg.use_pallas:
+    if fwd_only:
+        with jax.named_scope("Rasterize"):
+            from brush_tpu.ops.rasterize_pallas import (
+                _use_interpret, rasterize_forward_pallas, tiles_to_image)
+            tiles = rasterize_forward_pallas(
+                isect.soa, isect.tile_ranges, bg, cfg.img_size,
+                interpret=_use_interpret(), fwd_only=True)
+            img = tiles_to_image(tiles, cfg.img_size)
+    elif cfg.use_pallas:
         with jax.named_scope("Rasterize"):
             img = rasterize_pallas(
                 proj.mean2d, proj.conic, proj.color, proj.opac,
@@ -169,6 +187,7 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
     aux = RenderAux(
         num_visible=isect.num_visible,
         num_isects=isect.num_isects,
+        num_bbox_tail=isect.num_bbox_tail,
         max_isects_per_tile=jnp.max(per_tile),
         visible=visible,
         max_radius=proj.max_radius,

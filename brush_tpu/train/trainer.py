@@ -216,6 +216,7 @@ def train_step_impl(
             aux = RenderAux(
                 num_visible=jnp.max(auxs.num_visible),
                 num_isects=jnp.max(auxs.num_isects),
+                num_bbox_tail=jnp.max(auxs.num_bbox_tail),
                 max_isects_per_tile=jnp.max(auxs.max_isects_per_tile),
                 visible=jnp.max(auxs.visible, axis=0),
                 max_radius=jnp.max(auxs.max_radius, axis=0),

@@ -18,6 +18,14 @@ class Slot:
         self._lock = threading.Lock()
         self._frames: dict[int, Splats] = {}
         self._version = 0
+        # Optional dataset context, set by train_process when training with
+        # a live viewer: scene_views is a list of dicts
+        # {name, split, position, rotation, fov_x, fov_y}; gt_fn(i, max_dim)
+        # returns the i-th view's ground-truth image as [H, W, 3|4] u8.
+        # Powers the viewer's nearest-view snapping and training-view
+        # compare (reference: apps/brush-app scene.rs, SURVEY Appendix F).
+        self.scene_views: list = []
+        self.gt_fn = None
 
     def set(self, frame: int, splats: Splats) -> None:
         with self._lock:

@@ -146,3 +146,21 @@ def test_pallas_backward_with_saturation():
         # relative test is meaningless noise-vs-noise.
         tol = max(2e-5 * float(np.abs(b).max()), 1e-8)
         assert np.abs(a - b).max() < tol
+
+
+def test_pallas_forward_only_matches_training_kernel():
+    """The fwd_only specialization (no gid payload, no surv cumsums, 4-row
+    tile output, rasterize.rs:172-177 comptime variant) must produce the
+    SAME image as the training-path Pallas kernel bitwise — it skips
+    bookkeeping, not math."""
+    from brush_tpu.render import render
+    params, ci, cfg, d = setup()
+    bg = jnp.array([0.3, 0.2, 0.1], jnp.float32)
+    img_t, _ = render(*params, ci, bg,
+                      dataclasses.replace(cfg, use_pallas=True))
+    img_f, aux = render(*params, ci, bg,
+                        dataclasses.replace(cfg, use_pallas=True,
+                                            forward_only=True))
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_t))
+    # Overflow-retry aux still reported on the fwd-only path.
+    assert int(aux.num_isects) >= 0

@@ -126,6 +126,42 @@ def test_overflow_detected_at_non_log_step(tmp_path):
     assert steps and all(np.isfinite(m.data["loss"]) for m in steps)
 
 
+def test_overflow_grow_retry_pallas_path(tmp_path):
+    """The overflow-detect -> grow -> recompile loop end-to-end through the
+    PRODUCTION Pallas kernels (interpret mode on CPU): the num_chunks leg of
+    the gate only exists on the Pallas path (VERDICT r3 #8). Same hostile
+    start (1-slot caps) as the jnp-path test above."""
+    from brush_tpu.constants import TILE_WIDTH
+    dim = 3 * TILE_WIDTH
+    write_colmap_bin(tmp_path / "scene", n_views=2, w=dim, h=dim)
+    from brush_tpu.io import ply as ply_io
+    from brush_tpu.models import splats as spl
+    big = spl.from_raw(
+        means=np.array([[0, 0, 8], [0.2, 0.1, 8], [-0.2, -0.1, 8]],
+                       np.float32),
+        log_scales=np.full((3, 3), np.log(4.0), np.float32),
+        quats=np.tile(np.array([1, 0, 0, 0], np.float32), (3, 1)),
+        sh_coeffs=np.full((3, 1, 3), 0.5, np.float32),
+        raw_opacities=np.full((3,), 2.0, np.float32))
+    (tmp_path / "scene" / "init.ply").write_bytes(
+        ply_io.splats_to_ply_bytes(big))
+
+    tcfg = TrainConfig(total_train_iters=5, refine_every=1000)
+    lcfg = LoadConfig(max_resolution=dim)
+    pcfg = ProcessConfig(eval_every=0, export_every=0, log_every=5,
+                         export_path=str(tmp_path / "p_{iter}.ply"),
+                         init_count=0, sh_degree=1, use_pallas=True,
+                         init_isect_cap=1, init_chunk_cap=1)
+    msgs = list(train_process(str(tmp_path / "scene"), tcfg, lcfg, pcfg))
+
+    overflows = [m for m in msgs if m.kind == "overflow"]
+    assert overflows, "tiny caps did not trigger an overflow on Pallas path"
+    # The chunk leg (Pallas-only) must actually have grown.
+    assert any(m.data["chunk_cap"] > 1 for m in overflows)
+    steps = [m for m in msgs if m.kind == "step"]
+    assert steps and all(np.isfinite(m.data["loss"]) for m in steps)
+
+
 def test_batched_views_process(tmp_path):
     """views_per_batch > 1: batched multi-view steps through the public
     loop (sharded over the 8 virtual devices via the dp mesh)."""
