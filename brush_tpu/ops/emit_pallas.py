@@ -111,15 +111,28 @@ def _emit_kernel(lo_ref,                 # scalar-prefetch [nr_blocks+1] i32
             ref[...] = pays[r]
 
     # --- dense region: block b -> (k = b // nb, window i0 = (b % nb)*BLKS)
+    # Cross-block pipelining: manual DMAs don't overlap across grid steps,
+    # so each dense block prefetches the NEXT block's table window into the
+    # opposite parity slot while it computes (block 0 pays latency once).
+    def dense_dma(blk):
+        i0 = pl.multiple_of((blk % nb) * BLKS, BLKS)
+        slot = jax.lax.rem(blk, 2)
+        return pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(i0, BLKS)], dwin.at[slot],
+            dsem.at[slot])
+
     @pl.when(b < nd_blocks)
     def _():
+        @pl.when(b == 0)
+        def _():
+            dense_dma(b).start()
+
+        @pl.when(b + 1 < nd_blocks)
+        def _():
+            dense_dma(b + 1).start()
+        dense_dma(b).wait()
+        win = dwin[jax.lax.rem(b, 2)]
         k = b // nb
-        i0 = pl.multiple_of((b % nb) * BLKS, BLKS)
-        cp = pltpu.make_async_copy(
-            table_ref.at[:, pl.ds(i0, BLKS)], dwin, dsem)
-        cp.start()
-        cp.wait()
-        win = dwin[...]
         j = jnp.full((1, BLKS), k, jnp.int32)
         key, gid = _decode_slot(
             win, j, tile_bw=tile_bw, num_tiles=num_tiles,
@@ -283,8 +296,8 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((rows_pad, BLKS), jnp.float32),   # dense window
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, rows_pad, BLKS), jnp.float32),  # dense wins
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((2, rows_pad, W), jnp.float32),   # rem windows
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -87,11 +87,27 @@ def _prefix_mxu(x, tri):
     (roll, select, add) VPU passes over the whole block; a [CK, CK]
     triangular contraction is one MXU op. With the strict mask this yields
     the EXCLUSIVE prefix, with the inclusive mask the inclusive one.
+
+    Precision: `tri` is 0/1 — EXACT in bf16 — so splitting `x` into three
+    bf16 limbs (hi+mid+lo == x exactly; every limb x {0,1} product is
+    exact; f32 accumulation) reproduces the f32 contraction in THREE MXU
+    passes. Precision.HIGHEST would spend six passes on limb cross-terms
+    of an operand that has no low limbs — this was the single largest MXU
+    cost in both rasterizer kernels (~200 MFLOP-bf16 per chunk).
     """
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    rem = x - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    t16 = tri.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(hi, t16, dims,
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(mid, t16, dims,
+                                    preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(lo, t16, dims,
+                                    preferred_element_type=jnp.float32)
+    return out
 
 
 def _window(buf_slot, r):
@@ -104,8 +120,8 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                 soa_ref,               # [16, S+pad] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
                 out_ref,               # [1, 8|4, 256] VMEM block per tile
-                buf, sem,              # scratch: [2, 16, W] VMEM, DMA sems (2,)
-                *, tile_bw: int, fwd_only: bool):
+                buf, sem,              # scratch: [4, 16, W] VMEM, DMA sems (4,)
+                *, tile_bw: int, n_tiles: int, fwd_only: bool):
     t = pl.program_id(0)
     # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded to
     # x128, blowing the 1 MB SMEM budget at 1080p tile counts.
@@ -115,6 +131,32 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
     nchunks = jnp.where(span > 0, (span + CK - 1) // CK, 0)
     al = (start // 128) * 128
     r = start - al
+
+    # Cross-tile pipelining: manual DMAs don't overlap across grid steps,
+    # so tile t's FIRST chunk would expose its full HBM latency every tile
+    # (~8k tiles/frame). Instead each tile prefetches the next tile's first
+    # chunk into a parity slot (2 + t%2) while it computes; tile 0 pays the
+    # latency once. Slots 0/1 stay the intra-tile double buffer.
+    p_slot = 2 + jax.lax.rem(t, 2)
+
+    def first_dma(slot, tt):
+        s2 = ranges_ref[2 * tt]
+        al2 = (s2 // 128) * 128
+        return pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(pl.multiple_of(al2, 128), W)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when((t == 0) & (nchunks > 0))
+    def _():
+        first_dma(p_slot, t).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        nspan = ranges_ref[2 * t + 3] - ranges_ref[2 * t + 2]
+
+        @pl.when(nspan > 0)
+        def _():
+            first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
 
     # Pixel-center coordinates for this tile: [256, 1] on sublanes.
     pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
@@ -131,10 +173,6 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
         return pltpu.make_async_copy(
             soa_ref.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot])
 
-    @pl.when(nchunks > 0)
-    def _():
-        dma(0, 0).start()
-
     # Per-pixel `done` rides in the sign of the carried transmittance: done
     # pixels carry -T. (A done pixel's frozen T stays > eps, so the prefix
     # test alone could wrongly re-admit later tiny alphas — the reference's
@@ -145,11 +183,14 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
 
     def body2(carry):
         c, rgb, t_acc_signed, ndone, last_useful = carry
-        slot = c % 2
+        # Chunk 0 arrives in the cross-tile prefetch slot; chunks >= 1 use
+        # the intra-tile double buffer. dma(p_slot, 0) reconstructs the
+        # exact descriptor first_dma started (al + 0 == al2 for this tile).
+        slot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
 
         @pl.when(c + 1 < nchunks)
         def _():
-            dma(1 - slot, c + 1).start()
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
         dma(slot, c).wait()
         data = _window(buf[slot], r)
@@ -268,12 +309,13 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
                                lambda t, ranges: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, SOA_ROWS, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, SOA_ROWS, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
-    kernel = functools.partial(_fwd_kernel, tile_bw=tbw, fwd_only=fwd_only)
+    kernel = functools.partial(_fwd_kernel, tile_bw=tbw, n_tiles=n_tiles,
+                               fwd_only=fwd_only)
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -368,9 +410,29 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
         return pltpu.make_async_copy(
             obuf.at[slot], grads_ref.at[:, pl.ds(off, CK)], osem.at[slot])
 
-    @pl.when(nchunks > 0)
+    # Cross-tile pipelining (see _fwd_kernel): tile t's first chunk was
+    # prefetched by tile t-1 into parity slot 2 + t%2; prefetch t+1's here.
+    n_tiles = (-(-img_w // TILE_WIDTH)) * (-(-img_h // TILE_WIDTH))
+    p_slot = 2 + jax.lax.rem(t, 2)
+
+    def first_dma(slot, tt):
+        s2 = ranges_ref[2 * tt]
+        al2 = (s2 // 128) * 128
+        return pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(pl.multiple_of(al2, 128), W)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when((t == 0) & (nchunks > 0))
     def _():
-        in_dma(0, 0).start()
+        first_dma(p_slot, t).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        nspan = ranges_ref[2 * t + 3] - ranges_ref[2 * t + 2]
+
+        @pl.when(nspan > 0)
+        def _():
+            first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
 
     def key_row(data, c):
         in_span = (lane_ids < (span - c * CK)).astype(jnp.float32)
@@ -387,7 +449,7 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
 
     def body(carry):
         c, t_acc_signed, r_rem = carry
-        slot = c % 2
+        slot = c % 2  # output double-buffer parity
 
         # Output double-buffer: before overwriting obuf[slot], drain the
         # store issued two chunks ago from this slot.
@@ -397,10 +459,11 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
 
         @pl.when(c + 1 < nchunks)
         def _():
-            in_dma(1 - slot, c + 1).start()
-        in_dma(slot, c).wait()
+            in_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        rslot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
+        in_dma(rslot, c).wait()
 
-        data = _window(buf[slot], r)
+        data = _window(buf[rslot], r)
 
         in_span = lane_ids < (span - c * CK)
         c00 = data[2:3, :]
@@ -546,9 +609,12 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
 
             @pl.when(c + 1 < nchunks)
             def _():
-                in_dma(1 - slot, c + 1).start()
-            in_dma(slot, c).wait()
-            data = _window(buf[slot], r)
+                in_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+            # Chunk 0 (nuseful == 0 case) lives in the cross-tile prefetch
+            # slot, like the compute loop.
+            rslot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
+            in_dma(rslot, c).wait()
+            data = _window(buf[rslot], r)
             obuf[slot, 11, :] = key_row(data, c)[0]
             out_dma(slot, c).start()
             return 0
@@ -602,8 +668,8 @@ def rasterize_backward_pallas(soa, tile_ranges, chunk_starts, tiles, v_tiles,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, SOA_ROWS, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, SOA_ROWS, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((2, SOA_ROWS, CK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

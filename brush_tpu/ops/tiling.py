@@ -308,15 +308,22 @@ def build_intersections(
     # ONE u32 sort key (tile | truncated depth) + bit-packed payload
     # operands — the measured cost law is per-BYTE (ops/tiling_key.py).
     # gid rides as the 10th payload row ONLY when the backward needs it
-    # (the reference's bwd_info comptime split, rasterize.rs:172-177):
-    # forward-only rendering sorts 9 rows = 4 u64 + 1 u32 operands.
+    # (the reference's bwd_info comptime split, rasterize.rs:172-177).
+    # Forward-only rendering additionally diets the payload to u16
+    # precision (tile-relative f16 xy, f16 conic/rgb/opacity): 2 u64 +
+    # 1 u32 operands instead of 4 u64 + 1 u32 — sub-quantization error for
+    # the viewer path, ~16 ms/frame of sort traffic at 6M slots.
     # Ties (depths equal in kept bits) resolve deterministically by XLA's
     # fixed sorting network; the golden suites gate this approximation.
-    sort_rows = rows10 if with_bwd_info else rows10[:9]
-    key_sorted, rows_sorted = sort_packed(key, sort_rows)
     if with_bwd_info:
+        key_sorted, rows_sorted = sort_packed(key, rows10)
         gid_from_isect = rows_sorted[9].astype(jnp.int32)
     else:
+        from brush_tpu.ops.tiling_key import pack_fwd_rows, unpack_fwd_rows
+        key_sorted, packed_sorted = sort_packed(
+            key, pack_fwd_rows(key, rows10[:9], num_tiles, tile_bw))
+        rows_sorted = unpack_fwd_rows(key_sorted, packed_sorted,
+                                      num_tiles, tile_bw)
         gid_from_isect = jnp.zeros((0,), jnp.int32)
         rows_sorted = rows_sorted + [jnp.zeros_like(rows_sorted[0])]
 

@@ -89,6 +89,77 @@ def unpack_pairs_u64(packed, n_rows: int):
     return rows[:n_rows]
 
 
+def _f16_bits_u32(x):
+    """f32 -> IEEE f16 bit pattern widened to u32 (XLA-level; float16 is a
+    storage type TPU XLA converts through f32)."""
+    h = x.astype(jnp.float16)
+    return jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
+
+
+def _pack2f16(a, b):
+    """Two f32 rows -> one f32-bitcast row holding (f16(a) | f16(b) << 16)."""
+    u = _f16_bits_u32(a) | (_f16_bits_u32(b) << jnp.uint32(16))
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _unpack2f16(row):
+    u = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16)
+    hi = jax.lax.bitcast_convert_type(
+        (u >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
+def _slot_tile_origin(key, num_tiles: int, tile_bw: int):
+    """Per-slot emission-tile pixel origin recovered from the sort key."""
+    tb = tile_key_bits(num_tiles)
+    tile = (key >> jnp.uint32(32 - tb)).astype(jnp.int32)
+    from brush_tpu.constants import TILE_WIDTH
+    tx = tile % tile_bw
+    ty = tile // tile_bw
+    return ((tx * TILE_WIDTH).astype(jnp.float32),
+            (ty * TILE_WIDTH).astype(jnp.float32))
+
+
+def pack_fwd_rows(key, rows9, num_tiles: int, tile_bw: int):
+    """Forward-only payload diet: 9 f32 rows -> 5 u16-precision rows, so the
+    tile sort carries 2 u64 + 1 u32 payload operands instead of 4 u64 + 1 u32
+    (the measured cost law is per BYTE; ~16 ms/frame at 6M slots on v5e).
+
+    Lossy by design — the viewer/inference specialization only (the
+    reference's fwd-only kernel likewise changes representation, packing
+    u8x4 output, rasterize.rs:172-177). Error budget: xy is stored RELATIVE
+    to the slot's emission tile (recovered from the sort key), so the f16
+    rounding of (dx, dy) perturbs sigma by <= sigma/1024 at contributing
+    pixels (sigma <= ln(255*opac) there); f16 conic is a <= 2^-11 relative
+    sigma error; f16 rgb/opacity are ~5e-4 relative — all well under the
+    1/255 output quantization step.
+    """
+    mx, my, c00, c01, c11, opac, r, g, bch = rows9
+    ox, oy = _slot_tile_origin(key, num_tiles, tile_bw)
+    return [
+        _pack2f16(mx - ox, my - oy),
+        _pack2f16(c00, c01),
+        _pack2f16(c11, opac),
+        _pack2f16(r, g),
+        _pack2f16(bch, jnp.zeros_like(bch)),
+    ]
+
+
+def unpack_fwd_rows(key_sorted, rows5, num_tiles: int, tile_bw: int):
+    """Inverse of pack_fwd_rows (to f32, post-rounding values): 5 rows -> 9.
+    Sentinel slots decode to garbage xy — they sort past every real tile
+    range and are never rasterized."""
+    dx, dy = _unpack2f16(rows5[0])
+    c00, c01 = _unpack2f16(rows5[1])
+    c11, opac = _unpack2f16(rows5[2])
+    r, g = _unpack2f16(rows5[3])
+    bch, _ = _unpack2f16(rows5[4])
+    ox, oy = _slot_tile_origin(key_sorted, num_tiles, tile_bw)
+    return [dx + ox, dy + oy, c00, c01, c11, opac, r, g, bch]
+
+
 def sort_packed(key, rows):
     """Sort f32 payload `rows` by u32 `key` with pair-packed u64 payload
     operands (half the operand bill). Returns (sorted_key, sorted_rows).

@@ -150,9 +150,11 @@ def test_pallas_backward_with_saturation():
 
 def test_pallas_forward_only_matches_training_kernel():
     """The fwd_only specialization (no gid payload, no surv cumsums, 4-row
-    tile output, rasterize.rs:172-177 comptime variant) must produce the
-    SAME image as the training-path Pallas kernel bitwise — it skips
-    bookkeeping, not math."""
+    tile output, rasterize.rs:172-177 comptime variant) skips bookkeeping
+    AND diets the sort payload to u16 precision (tiling_key.pack_fwd_rows)
+    — the viewer-path analogue of the reference's packed-u8x4 fwd-only
+    output. The image must match the training-path kernel to well under the
+    1/255 output quantization step (error budget in pack_fwd_rows)."""
     from brush_tpu.render import render
     params, ci, cfg, d = setup()
     bg = jnp.array([0.3, 0.2, 0.1], jnp.float32)
@@ -161,6 +163,8 @@ def test_pallas_forward_only_matches_training_kernel():
     img_f, aux = render(*params, ci, bg,
                         dataclasses.replace(cfg, use_pallas=True,
                                             forward_only=True))
-    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_t))
+    a, b = np.asarray(img_f), np.asarray(img_t)
+    assert np.abs(a - b).max() < 2.0 / 255.0
+    assert np.abs(a - b).mean() < 2e-4
     # Overflow-retry aux still reported on the fwd-only path.
     assert int(aux.num_isects) >= 0
