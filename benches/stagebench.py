@@ -208,6 +208,22 @@ def main():
         return s + 0.0 * o[0, 0, 0]
     chain_time(fkern, soa, label="kernel_only")
 
+    # fwd-only kernel on a fwd-only-binned scene (u16 payload diet): the
+    # rasterizer row of the SHIPPED headline path (VERDICT r4 weak #2).
+    isect_f = jax.jit(lambda p: build_intersections(
+        p, img, rcfg.isect_cap, expand_k0=rcfg.expand_k0,
+        with_bwd_info=False))(proj)
+    soa_f = isect_f.soa
+    ranges_f = isect_f.tile_ranges
+
+    @jax.jit
+    def fkern_fwd(s):
+        tiles = rasterize_forward_pallas(s, ranges_f, bg, img,
+                                         fwd_only=True)
+        o = tiles_to_image(tiles, img)
+        return s + 0.0 * o[0, 0, 0]
+    chain_time(fkern_fwd, soa_f, label="kernel_only_fwdonly")
+
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]
         with open(path, "w") as f:

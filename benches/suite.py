@@ -88,6 +88,15 @@ def _emit(name, seconds, unit="ms"):
     return rec
 
 
+def _emit_error(name, exc):
+    """A row that fails (OOM, overflow) is recorded, not dropped — the
+    artifact must show the whole matrix (VERDICT r4 next-round #2)."""
+    msg = f"{type(exc).__name__}: {exc}"
+    rec = {"metric": name, "error": msg[:500]}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def bench_forward():
     import jax
 
@@ -98,16 +107,19 @@ def bench_forward():
               (500_000, 1_000_000, 2_500_000)] +
              [(2_000_000, r) for r in RESOLUTIONS.values()])
     for n, img in cases:
-        args, cam, rcfg, bg = _setup(n, img, forward_only=True)
+        name = f"forward_{n // 1000}k_{img[0]}x{img[1]}"
+        try:
+            args, cam, rcfg, bg = _setup(n, img, forward_only=True)
 
-        @jax.jit
-        def fwd(*a):
-            out, _ = render(*a, cam, bg, rcfg)
-            return out
+            @jax.jit
+            def fwd(*a):
+                out, _ = render(*a, cam, bg, rcfg)
+                return out
 
-        dt = _time(fwd, args)
-        results.append(_emit(
-            f"forward_{n // 1000}k_{img[0]}x{img[1]}", dt))
+            dt = _time(fwd, args)
+            results.append(_emit(name, dt))
+        except Exception as e:  # noqa: BLE001 — record OOM/overflow rows
+            results.append(_emit_error(name, e))
     return results
 
 
@@ -121,18 +133,21 @@ def bench_backward():
               (1_000_000, 2_000_000, 5_000_000)] +
              [(2_000_000, r) for r in RESOLUTIONS.values()])
     for n, img in cases:
-        args, cam, rcfg, bg = _setup(n, img, forward_only=False)
+        name = f"backward_{n // 1000}k_{img[0]}x{img[1]}"
+        try:
+            args, cam, rcfg, bg = _setup(n, img, forward_only=False)
 
-        @jax.jit
-        def bwd(*a):
-            def loss(*p):
-                out, _ = render(*p, cam, bg, rcfg)
-                return out[..., :3].mean()
-            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
+            @jax.jit
+            def bwd(*a):
+                def loss(*p):
+                    out, _ = render(*p, cam, bg, rcfg)
+                    return out[..., :3].mean()
+                return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*a)
 
-        dt = _time(bwd, args)
-        results.append(_emit(
-            f"backward_{n // 1000}k_{img[0]}x{img[1]}", dt))
+            dt = _time(bwd, args)
+            results.append(_emit(name, dt))
+        except Exception as e:  # noqa: BLE001 — record OOM/overflow rows
+            results.append(_emit_error(name, e))
     return results
 
 
@@ -150,31 +165,36 @@ def bench_train():
     results = []
     img = RESOLUTIONS["1080p"]
     for n in (500_000, 1_000_000, 2_500_000):
-        cam, splats = _scene(n, img)
-        cam_in = camera_inputs(cam, img)
-        k0, rem_cap = plan_caps(splats.means, splats.log_scales,
-                                splats.quats, splats.raw_opacities,
-                                cam_in, img)
-        rng = np.random.default_rng(0)
-        gt = pack_gt(rng.uniform(0, 1, (img[1], img[0], 3))
-                     .astype(np.float32))
-        batch = SceneBatch(gt_packed=jnp.asarray(gt), cam=cam_in)
-        rcfg = RenderConfig(img_size=img, sh_degree=0, isect_cap=rem_cap,
-                            expand_k0=k0, use_pallas=True)
-        tcfg = TrainConfig()
-        state = init_train_state(splats, jax.random.PRNGKey(0), 3.0)
-        step = jax.jit(lambda s, b: train_step(s, b, tcfg, rcfg),
-                       donate_argnums=0)
+        name = f"train_step_{n // 1000}k_1080p"
+        try:
+            cam, splats = _scene(n, img)
+            cam_in = camera_inputs(cam, img)
+            k0, rem_cap = plan_caps(splats.means, splats.log_scales,
+                                    splats.quats, splats.raw_opacities,
+                                    cam_in, img)
+            rng = np.random.default_rng(0)
+            gt = pack_gt(rng.uniform(0, 1, (img[1], img[0], 3))
+                         .astype(np.float32))
+            batch = SceneBatch(gt_packed=jnp.asarray(gt), cam=cam_in)
+            rcfg = RenderConfig(img_size=img, sh_degree=0,
+                                isect_cap=rem_cap,
+                                expand_k0=k0, use_pallas=True)
+            tcfg = TrainConfig()
+            state = init_train_state(splats, jax.random.PRNGKey(0), 3.0)
+            step = jax.jit(lambda s, b: train_step(s, b, tcfg, rcfg),
+                           donate_argnums=0)
 
-        state, stats, _ = step(state, batch)   # compile + warmup
-        stats.loss.block_until_ready()
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, stats, _ = step(state, batch)
-        stats.loss.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
-        results.append(_emit(f"train_step_{n // 1000}k_1080p", dt))
+            state, stats, _ = step(state, batch)   # compile + warmup
+            stats.loss.block_until_ready()
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, stats, _ = step(state, batch)
+            stats.loss.block_until_ready()
+            dt = (time.perf_counter() - t0) / iters
+            results.append(_emit(name, dt))
+        except Exception as e:  # noqa: BLE001 — record OOM/overflow rows
+            results.append(_emit_error(name, e))
     return results
 
 
@@ -194,8 +214,11 @@ def main():
         out += bench_train()
     print("\n== summary ==")
     for r in out:
-        print(f"{r['metric']:>34}: {r['value']:>9.2f} ms "
-              f"({r['fps']:.1f}/s)")
+        if "error" in r:
+            print(f"{r['metric']:>34}: ERROR {r['error'][:60]}")
+        else:
+            print(f"{r['metric']:>34}: {r['value']:>9.2f} ms "
+                  f"({r['fps']:.1f}/s)")
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]
         with open(path, "w") as f:

@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 import jax
+if "--cpu" in sys.argv:  # fast script validation (the env pins axon)
+    jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache'
                   if jax.default_backend() != 'cpu'
                   else '/root/repo/.jax_cache_cpu')
@@ -30,6 +32,11 @@ sys.path.insert(0, str(REPO))
 
 FAILED = []
 RESULTS = []
+# Measurements the loosened r4 tolerances rest on (VERDICT r4 next-round #1):
+# committed INSIDE the smoke artifact so the bounds are evidenced, not
+# self-certified. Filled by deep_wall_parity (prefetch on/off A/B) and
+# mix_case_pallas (cross-backend error quantiles).
+ADDENDUM = {}
 
 
 def check(name, ok, detail=""):
@@ -170,6 +177,44 @@ def deep_wall_parity():
     check("deep wall (512-deep) pallas vs oracle", diff < bound,
           f"maxdiff={diff:.2e} (bound {bound:g})")
 
+    # --- Addendum: prefetch on/off A/B (justifies the 3e-4 on-chip bound:
+    # if the kernel output is IDENTICAL with the cross-tile prefetch
+    # disabled, the oracle gap is algorithmic log-space rounding, not a DMA
+    # race). Runs the production fwd kernel directly on the same binned
+    # intersections, toggling only the prefetch.
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_pallas import (
+        _use_interpret, rasterize_forward_pallas)
+    from brush_tpu.ops.tiling import build_intersections
+
+    cfg_p = RenderConfig(img_size=img_size, sh_degree=0, isect_cap=1 << 14,
+                         max_per_tile=1024, use_pallas=True)
+
+    @jax.jit
+    def isect_fn(*a):
+        proj = project_splats(*a, cam, cfg_p.img_size,
+                              sh_degree=cfg_p.sh_degree, model=cfg_p.model,
+                              mip_splatting=cfg_p.mip_splatting)
+        return build_intersections(proj, cfg_p.img_size, cfg_p.isect_cap,
+                                   expand_k0=cfg_p.expand_k0)
+    isect = isect_fn(*args)
+    tiles = {}
+    for xt in (True, False):
+        tiles[xt] = np.asarray(rasterize_forward_pallas(
+            isect.soa, isect.tile_ranges, jnp.zeros(3), img_size,
+            interpret=_use_interpret(), xtile_prefetch=xt))
+    ab_diff = float(np.abs(tiles[True] - tiles[False]).max())
+    ab_same = bool(np.array_equal(tiles[True], tiles[False]))
+    ADDENDUM["deep_wall_prefetch_ab"] = {
+        "bitwise_identical": ab_same, "maxdiff": ab_diff,
+        "oracle_maxdiff_with_prefetch": float(diff),
+        "note": ("identical tile output with the cross-tile prefetch "
+                 "disabled => the oracle gap is algorithmic rounding "
+                 "(log-space MXU transmittance prefix), not a DMA race"),
+    }
+    check("deep wall prefetch on/off A/B bitwise-identical", ab_same,
+          f"maxdiff={ab_diff:.2e}")
+
 
 def mix_case_pallas():
     """The mix-regime fixture (76873 splats, huge scale spread — see
@@ -206,10 +251,32 @@ def mix_case_pallas():
         lambda *a: render(*a, cam, jnp.zeros(3),
                           dataclasses.replace(cfg, use_pallas=False))[0:2]
         )(*args)
-    diff = np.abs(np.asarray(img_out) - np.asarray(img_jnp)).max()
-    fdiff = np.abs(np.asarray(img_out) - d["out_img"]).max()
+    diff_same = np.abs(np.asarray(img_out) - np.asarray(img_jnp))
+    diff_froz = np.abs(np.asarray(img_out) - d["out_img"])
+    diff = diff_same.max()
+    fdiff = diff_froz.max()
+    # --- Addendum: cross-backend error quantiles (justifies re-basing this
+    # check from the frozen CPU fixture to the same-backend oracle). The
+    # r4 claim: cross-backend alpha-cutoff flips spike a few pixels to
+    # ~7e-3 while p99.9 stays ~5e-6 — measured and committed here.
+    p999_f = float(np.quantile(diff_froz, 0.999))
+    p999_s = float(np.quantile(diff_same, 0.999))
+    ADDENDUM["mix_case_quantiles"] = {
+        "vs_frozen_cpu_fixture": {
+            "max": float(fdiff), "p99.9": p999_f,
+            "px_above_1e-4": int((diff_froz > 1e-4).sum()),
+            "px_total": int(diff_froz.size)},
+        "vs_same_backend_oracle": {
+            "max": float(diff), "p99.9": p999_s},
+        "note": ("cross-backend max spikes come from alpha-cutoff flips "
+                 "(splats within float noise of the 1/255 cutoff) on a "
+                 "handful of pixels; the bulk of the image agrees to "
+                 "float precision, so the gate compares same-backend"),
+    }
     check("mix case pallas vs same-backend oracle", diff < 2e-4,
           f"maxdiff={diff:.2e} (vs frozen CPU fixture: {fdiff:.2e})")
+    check("mix case cross-backend p99.9", p999_f < 1e-4,
+          f"p99.9={p999_f:.2e} max={fdiff:.2e}")
 
 
 def scale_stress_30m():
@@ -328,6 +395,7 @@ def main():
                 "elapsed_s": round(dt, 1),
                 "ok": not FAILED,
                 "results": RESULTS,
+                "tolerance_addendum": ADDENDUM,
             }, f, indent=1)
         print(f"wrote {path}")
     sys.exit(1 if FAILED else 0)

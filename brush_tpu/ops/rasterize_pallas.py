@@ -121,7 +121,8 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
                 out_ref,               # [1, 8|4, 256] VMEM block per tile
                 buf, sem,              # scratch: [4, 16, W] VMEM, DMA sems (4,)
-                *, tile_bw: int, n_tiles: int, fwd_only: bool):
+                *, tile_bw: int, n_tiles: int, fwd_only: bool,
+                xtile: bool = True):
     t = pl.program_id(0)
     # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded to
     # x128, blowing the 1 MB SMEM budget at 1080p tile counts.
@@ -137,6 +138,10 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
     # (~8k tiles/frame). Instead each tile prefetches the next tile's first
     # chunk into a parity slot (2 + t%2) while it computes; tile 0 pays the
     # latency once. Slots 0/1 stay the intra-tile double buffer.
+    # `xtile=False` (smoke-test A/B only) disables the cross-tile prefetch:
+    # chunk 0 rides the plain double buffer with its DMA started (and fully
+    # waited) inside the chunk loop — numerically identical by construction,
+    # just latency-exposed. SMOKE_r05's deep-wall addendum runs both.
     p_slot = 2 + jax.lax.rem(t, 2)
 
     def first_dma(slot, tt):
@@ -146,17 +151,18 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
             soa_ref.at[:, pl.ds(pl.multiple_of(al2, 128), W)],
             buf.at[slot], sem.at[slot])
 
-    @pl.when((t == 0) & (nchunks > 0))
-    def _():
-        first_dma(p_slot, t).start()
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        nspan = ranges_ref[2 * t + 3] - ranges_ref[2 * t + 2]
-
-        @pl.when(nspan > 0)
+    if xtile:
+        @pl.when((t == 0) & (nchunks > 0))
         def _():
-            first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
+            first_dma(p_slot, t).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            nspan = ranges_ref[2 * t + 3] - ranges_ref[2 * t + 2]
+
+            @pl.when(nspan > 0)
+            def _():
+                first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
 
     # Pixel-center coordinates for this tile: [256, 1] on sublanes.
     pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
@@ -186,7 +192,14 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
         # Chunk 0 arrives in the cross-tile prefetch slot; chunks >= 1 use
         # the intra-tile double buffer. dma(p_slot, 0) reconstructs the
         # exact descriptor first_dma started (al + 0 == al2 for this tile).
-        slot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
+        if xtile:
+            slot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
+        else:
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c == 0)
+            def _():
+                dma(0, 0).start()
 
         @pl.when(c + 1 < nchunks)
         def _():
@@ -279,9 +292,10 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("img_size", "interpret", "fwd_only"))
+                   static_argnames=("img_size", "interpret", "fwd_only",
+                                    "xtile_prefetch"))
 def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
-                             fwd_only=False):
+                             fwd_only=False, xtile_prefetch=True):
     """Rasterize the sorted [16, S+pad] SoA -> tile image [T, R, 256].
 
     Tile rows: 0..2 rgb, 3 alpha, and (training variant only) 4 final
@@ -315,7 +329,7 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
     )
 
     kernel = functools.partial(_fwd_kernel, tile_bw=tbw, n_tiles=n_tiles,
-                               fwd_only=fwd_only)
+                               fwd_only=fwd_only, xtile=xtile_prefetch)
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

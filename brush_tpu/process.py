@@ -370,15 +370,32 @@ def train_process(
                     lambda s: refine_step(s, tcfg, centers, focals))
                 step_cache.clear()
             state, rstats = refine_jit(state)
+            # Coarse memory cadence (train_stream.rs:434-441 logs GPU memory
+            # on refine cadence because the query stalls behind queued work).
+            mem = {}
+            dev_stats = jax.local_devices()[0].memory_stats() or {}
+            if dev_stats.get("bytes_in_use") is not None:
+                mem["mem_used_mb"] = round(
+                    dev_stats["bytes_in_use"] / 2**20, 1)
+            if dev_stats.get("bytes_limit"):
+                mem["mem_limit_mb"] = round(
+                    dev_stats["bytes_limit"] / 2**20, 1)
             msg = TrainMessage("refine", it, dict(
                 added=int(rstats.num_added), pruned=int(rstats.num_pruned),
-                total=int(rstats.total_splats)))
+                oversized=int(rstats.num_oversized),
+                resampled=int(rstats.num_resampled),
+                grad_grown=int(rstats.num_grad_grown),
+                total=int(rstats.total_splats), **mem))
             if on_message:
                 on_message(msg)
             if telem:
-                telem.log_scalars(it, refine_added=msg.data["added"],
-                                  refine_pruned=msg.data["pruned"],
-                                  splats_total=msg.data["total"])
+                telem.log_scalars(
+                    it, refine_added=msg.data["added"],
+                    refine_pruned=msg.data["pruned"],
+                    refine_oversized=msg.data["oversized"],
+                    refine_resampled=msg.data["resampled"],
+                    refine_grad_grown=msg.data["grad_grown"],
+                    splats_total=msg.data["total"], **mem)
                 telem.log_splat_distribution(it, state.splats)
                 telem.log_memory(it)
             yield msg

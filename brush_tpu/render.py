@@ -82,7 +82,17 @@ class RenderAux:
     #   (exact gaussian-vs-tile test bypassed past B_SCAN) — telemetry for
     #   the exact-emission saving (VERDICT r3 #9; no-silent-caps rule)
     max_isects_per_tile: jnp.ndarray  # [] int32 — compare against max_per_tile!
-    visible: jnp.ndarray            # [N] 1.0 where splat contributed
+    visible: jnp.ndarray            # [N] 1.0 where splat is visible. Path
+    #   semantics (reference: bwd_info rasterize marks blended splats,
+    #   rasterize.rs:150-156):
+    #   - jnp oracle path: EXACT contribution visibility (blended somewhere).
+    #   - Pallas training path: BINNED visibility — passed every cull gate
+    #     and emitted >= 1 tile slot; a conservative superset (an occluded
+    #     splat is still marked). Exact contribution visibility is the
+    #     visible_holder gradient (render_with_refine), which the trainer
+    #     uses for refine stats.
+    #   - forward_only path: all zeros (no per-splat bookkeeping exists in
+    #     the inference kernel, by design — don't read it there).
     max_radius: jnp.ndarray         # [N] screen-fraction radius
     final_t: jnp.ndarray | None = None
     num_chunks: jnp.ndarray | None = None  # [] int32 — compare against
@@ -182,8 +192,14 @@ def _render_impl(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg,
             cfg.img_size, cfg.max_per_tile, cfg.chunk, cfg.smooth_cutoff)
 
     per_tile = isect.tile_ranges[:, 1] - isect.tile_ranges[:, 0]
-    visible = (_visibility(proj, isect, cfg) if with_visibility
-               else jnp.zeros(n, jnp.float32))
+    if with_visibility:
+        visible = _visibility(proj, isect, cfg)
+    elif not fwd_only:
+        # Pallas path: binned visibility from the surviving-slot counts the
+        # backward bookkeeping already computes (see RenderAux.visible).
+        visible = (isect.surv_counts_g > 0).astype(jnp.float32)
+    else:
+        visible = jnp.zeros(n, jnp.float32)
     aux = RenderAux(
         num_visible=isect.num_visible,
         num_isects=isect.num_isects,

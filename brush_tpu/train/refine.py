@@ -43,6 +43,11 @@ class RefineStats(NamedTuple):
     num_pruned: jnp.ndarray
     num_pruned_non_finite: jnp.ndarray
     total_splats: jnp.ndarray
+    # Selection decomposition of num_added (the reference streams these to
+    # rerun as per-refine histograms, visualize_tools.rs:86-707):
+    num_oversized: jnp.ndarray   # forced screen-size splits
+    num_resampled: jnp.ndarray   # opacity-weighted resample of pruned budget
+    num_grad_grown: jnp.ndarray  # gradient-growth selections
 
 
 def _inv_sigmoid(x):
@@ -290,11 +295,18 @@ def refine_step(
         bounds_center=center,
         bounds_extent=extent,
     )
+    # Decompose the final selection (post budget-truncation) into its three
+    # sources; overlaps resolve in priority order oversized > resampled.
+    n_over = jnp.sum(sel & sel_oversized).astype(jnp.int32)
+    n_res = jnp.sum(sel & sel_resample & ~sel_oversized).astype(jnp.int32)
     stats = RefineStats(
         num_added=n_added,
         num_pruned=pruned_count,
         num_pruned_non_finite=pruned_non_finite,
         total_splats=n_alive_out,
+        num_oversized=n_over,
+        num_resampled=n_res,
+        num_grad_grown=n_added - n_over - n_res,
     )
     return new_state, stats
 

@@ -38,8 +38,8 @@ splat scale <input id="ss" type="range" min="-2" max="1" step="0.1" value="0">
 fov <input id="fv" type="range" min="0.3" max="2.4" step="0.1" value="1">
 bg <input id="bgc" type="color" value="#000000">
 <span id="meta"></span></div>
-<div id="stats"><canvas id="sc" width="240" height="90"></canvas>
-<div id="sl"></div></div>
+<div id="stats"><canvas id="sc" width="240" height="136"></canvas>
+<div id="sl"></div><div id="rl"></div></div>
 <div id="cmp">view <span id="vn"></span> — GT wipe
 <input id="wipe" type="range" min="0" max="1" step="0.01" value="0.5"></div>
 <canvas id="c" class="full"></canvas>
@@ -51,7 +51,7 @@ let yaw=+(hp.get('yaw')||0),pitch=+(hp.get('pitch')||0.3),
     dist=+(hp.get('dist')||5),frame=+(hp.get('frame')||0);
 let drag=null,playing=false,nframes=1,busy=false;
 let views=[],snap=null,points=false,cloud=null,cloudV=-1;
-const losses=[],psnrs=[];
+const losses=[],psnrs=[],splatsArr=[];let lastRefine=null;
 const ss=document.getElementById('ss'),fv=document.getElementById('fv'),
       bgc=document.getElementById('bgc'),wipe=document.getElementById('wipe');
 const hex2rgb=h=>[1,3,5].map(i=>parseInt(h.slice(i,i+2),16)/255).join(',');
@@ -98,6 +98,15 @@ es.onmessage=e=>{const m=JSON.parse(e.data);
     if(losses.length>240)losses.shift();}
   if(m.kind==='eval'&&isFinite(m.psnr)){psnrs.push(m.psnr);
     if(psnrs.length>240)psnrs.shift();}
+  // Refine histograms + memory cadence (visualize_tools.rs:86-707 parity).
+  if(m.kind==='refine'){lastRefine=m;splatsArr.push(m.total);
+    if(splatsArr.length>240)splatsArr.shift();
+    document.getElementById('rl').textContent=
+      `refine +${m.added} (split ${m.oversized} resample ${m.resampled} `+
+      `grow ${m.grad_grown}) -${m.pruned} = ${m.total}`+
+      (isFinite(m.mem_used_mb)?` | hbm ${(m.mem_used_mb/1024).toFixed(2)}G`
+       +(isFinite(m.mem_limit_mb)?`/${(m.mem_limit_mb/1024).toFixed(0)}G`:'')
+       :'');}
   document.getElementById('stats').style.display='block';
   document.getElementById('sl').textContent=
     `it ${m.iter} ${m.kind==='step'?'loss '+m.loss.toFixed(4):''}`+
@@ -109,8 +118,8 @@ function spark(g,arr,y0,h,color){if(arr.length<2)return;
   arr.forEach((v,i)=>{const X=i/(arr.length-1)*238+1,
     Y=y0+h-1-(v-lo)/s*(h-2);i?g.lineTo(X,Y):g.moveTo(X,Y)});g.stroke();}
 function drawStats(){const g=document.getElementById('sc').getContext('2d');
-  g.clearRect(0,0,240,90);spark(g,losses,0,44,'#e66');
-  spark(g,psnrs,46,44,'#6e6');}
+  g.clearRect(0,0,240,136);spark(g,losses,0,44,'#e66');
+  spark(g,psnrs,46,44,'#6e6');spark(g,splatsArr,92,44,'#69e');}
 async function fetchSplats(){
   // Live splat point-cloud snapshot (visualize_tools.rs splat streams).
   const buf=await(await fetch(`/splats?frame=${frame}`)).arrayBuffer();
