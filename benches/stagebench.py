@@ -119,7 +119,10 @@ def main():
 
     def stage_emit(m):
         table, rem_starts = stage_counts(m)
-        return emit_slots(table, rem_starts, k0, rem_cap, img)
+        emat = emit_slots(table, rem_starts, k0, rem_cap, img)
+        key = (emat[0].astype(jnp.uint32)
+               | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
+        return key, [emat[r] for r in range(1, 10)], emat[10]
 
     def stage_sort(m):
         key, pays, gid = stage_emit(m)

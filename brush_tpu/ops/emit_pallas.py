@@ -4,17 +4,25 @@ Round-4 finding (benches/microbench_emitsplit.py, v5e): the pre-sort slot
 materialization — dense broadcasts, remainder one-hot expansion, local->tile
 decodes, and the 12 operand concats — cost ~18 ms/frame as separate XLA
 ops, a third of the whole binning phase, because every piece round-trips
-HBM. This kernel fuses ALL of it: one grid walks the dense region (k-major
-[K0, N_pad]) then the remainder region ([rem_cap]), and writes the final
-sort-operand arrays (combined sort key + 10 attribute rows) block by block.
-Every input byte is read once; every output byte is written once.
+HBM. This kernel fuses ALL of it: one grid walks the dense region then the
+remainder region and writes the sort operands block by block.
 
-Semantics (must match ops/tiling.py's jnp emission bitwise):
+Round-5 restructuring (the round-4 kernel measured ~21 ms against a ~1 ms
+bandwidth bound — it was DMA-ISSUE bound, not bandwidth bound):
+  * ONE matrix output block [16, BLKS] per grid step (key bit pattern in
+    row 0, payload rows 1..9, gid row 10) instead of 11 separate 1-D
+    16 KB output streams — 1 output DMA per step instead of 11;
+  * the dense region is BLOCK-k-major: each block covers GS splats and
+    emits their first k0 slots as k0 static lane sub-ranges sharing ONE
+    table window DMA — the round-4 k-major layout re-read every table
+    window k0 times (4x the dense input traffic at k0=4).
+
+Semantics (must match ops/tiling.py's jnp emission as a multiset):
   * dense slot (k, g): k-th emitted tile of splat g if k < counts[g],
     else the sentinel key;
-  * remainder slot s: owner g found by the monotone-start window walk
-    (ops/expand_pallas.py), emission rank j = k0 + s - starts[g], local
-    tile decoded through the owner's exact-hit bitmask;
+  * remainder slot s: owner g found by the monotone-start window walk,
+    emission rank j = k0 + s - starts[g], local tile decoded through the
+    owner's exact-hit bitmask;
   * combined key = tile_id << depth_bits_kept | depth_bits >> tile_bits —
     one u32 that orders (tile, truncated depth); the sentinel tile
     (num_tiles) sorts past every real tile (map_gaussians.rs:53-57).
@@ -47,10 +55,30 @@ from brush_tpu.ops.tiling_key import B_SCAN
 
 import os as _os
 
-# Slots per grid step (and dense table window width) / remainder
-# owner-window width (gids per DMA). Env-overridable for perf experiments.
-BLKS = int(_os.environ.get("BRUSH_TPU_EMIT_BLKS", "4096"))
-W = int(_os.environ.get("BRUSH_TPU_EMIT_W", "256"))
+# Slots per grid step / remainder owner-window width (gids per DMA). Only
+# the defaults are covered by the parity suites, so overrides require an
+# explicit unsafe opt-in — a stray env var must not silently retile the
+# production kernel.
+BLKS, W = 4096, 256
+if _os.environ.get("BRUSH_TPU_UNSAFE_TUNE") == "1":
+    import warnings as _warnings
+    BLKS = int(_os.environ.get("BRUSH_TPU_EMIT_BLKS", BLKS))
+    W = int(_os.environ.get("BRUSH_TPU_EMIT_W", W))
+    if (BLKS, W) != (4096, 256):
+        _warnings.warn(
+            f"emit kernel geometry overridden to BLKS={BLKS} W={W} "
+            "(BRUSH_TPU_UNSAFE_TUNE) — untested tiling", stacklevel=1)
+
+OUT_ROWS = 16  # key + 9 payload + gid, padded to the f32 sublane tile
+
+
+def _dense_gs(k0: int) -> int:
+    """Splats per dense block: the largest 128-multiple with GS*k0 <= BLKS
+    (128-aligned lane sub-ranges; the <=6% unused lane tail emits
+    sentinels that sort past every real slot)."""
+    gs = (BLKS // k0) // 128 * 128
+    assert gs >= 128, (BLKS, k0)
+    return gs
 
 
 def _select_bit(mask_u32, j):
@@ -69,8 +97,8 @@ def _select_bit(mask_u32, j):
 def _decode_slot(vals, j, *, tile_bw: int, num_tiles: int, tile_bits: int,
                  extra_in=None):
     """Shared dense/remainder slot decode from attribute rows `vals`
-    ([rows, L]) and emission ranks `j` ([1, L] int32). Returns
-    (key u32 [1, L], gid f32 [1, L])."""
+    ([rows, L]) and emission ranks `j` ([1, L] int32). Returns the combined
+    key as an f32 BIT PATTERN row [1, L] (stored in the matrix output)."""
     counts = vals[14:15].astype(jnp.int32)
     # Mosaic has no f32->u32 cast; route through i32 (values < 2^16).
     mask = (vals[15:16].astype(jnp.int32).astype(jnp.uint32)
@@ -89,37 +117,34 @@ def _decode_slot(vals, j, *, tile_bw: int, num_tiles: int, tile_bits: int,
     depth_u = pltpu.bitcast(vals[10:11], jnp.uint32)
     key = ((tile.astype(jnp.uint32) << jnp.uint32(32 - tile_bits))
            | (depth_u >> jnp.uint32(tile_bits)))
-    return key, vals[9:10]
+    # The key leaves the kernel as two u16-limb f32 rows: a raw bitcast
+    # can form NaN bit patterns (tile/depth with exponent bits all-1),
+    # which a copy path is free to canonicalize. Limbs are exact in f32.
+    key_i = pltpu.bitcast(key, jnp.int32)
+    return ((key_i & 0xFFFF).astype(jnp.float32),
+            ((key_i >> 16) & 0xFFFF).astype(jnp.float32))
 
 
 def _emit_kernel(lo_ref,                 # scalar-prefetch [nr_blocks+1] i32
                  table_ref,              # [rows_pad, n_pad] f32 ANY
-                 key_ref,                # [BLKS] u32 out block
-                 *out_refs,              # 10 x [BLKS] f32 out blocks + scratch
-                 nd_blocks: int, nb: int, n_pad: int, k0: int,
+                 out_ref,                # [OUT_ROWS, BLKS] f32 out block
+                 dwin, dsem, tbuf, tsem,  # scratch
+                 *, nd_blocks: int, gs: int, k0: int,
                  tile_bw: int, num_tiles: int, tile_bits: int,
                  rows_pad: int):
-    (p0, p1, p2, p3, p4, p5, p6, p7, p8, gid_ref,
-     dwin, dsem, tbuf, tsem) = out_refs
     b = pl.program_id(0)
-    payload_refs = (p0, p1, p2, p3, p4, p5, p6, p7, p8)
 
-    def write_outs(key, gid, pays):
-        key_ref[...] = key[0]
-        gid_ref[...] = gid[0]
-        for r, ref in enumerate(payload_refs):
-            ref[...] = pays[r]
-
-    # --- dense region: block b -> (k = b // nb, window i0 = (b % nb)*BLKS)
-    # Cross-block pipelining: manual DMAs don't overlap across grid steps,
-    # so each dense block prefetches the NEXT block's table window into the
-    # opposite parity slot while it computes (block 0 pays latency once).
+    # --- dense region: block b covers splats [b*gs, (b+1)*gs) and emits
+    # their first k0 slots as k0 static lane sub-ranges of one output
+    # block, all decoding from ONE table window. Cross-block pipelining:
+    # manual DMAs don't overlap across grid steps, so each dense block
+    # prefetches the NEXT block's window into the opposite parity slot
+    # while it computes (block 0 pays latency once).
     def dense_dma(blk):
-        i0 = pl.multiple_of((blk % nb) * BLKS, BLKS)
+        i0 = pl.multiple_of(blk * gs, 128)
         slot = jax.lax.rem(blk, 2)
         return pltpu.make_async_copy(
-            table_ref.at[:, pl.ds(i0, BLKS)], dwin.at[slot],
-            dsem.at[slot])
+            table_ref.at[:, pl.ds(i0, gs)], dwin.at[slot], dsem.at[slot])
 
     @pl.when(b < nd_blocks)
     def _():
@@ -132,12 +157,23 @@ def _emit_kernel(lo_ref,                 # scalar-prefetch [nr_blocks+1] i32
             dense_dma(b + 1).start()
         dense_dma(b).wait()
         win = dwin[jax.lax.rem(b, 2)]
-        k = b // nb
-        j = jnp.full((1, BLKS), k, jnp.int32)
-        key, gid = _decode_slot(
-            win, j, tile_bw=tile_bw, num_tiles=num_tiles,
-            tile_bits=tile_bits)
-        write_outs(key, gid, [win[r] for r in range(9)])
+        for k in range(k0):
+            j = jnp.full((1, gs), k, jnp.int32)
+            key_lo, key_hi = _decode_slot(
+                win, j, tile_bw=tile_bw, num_tiles=num_tiles,
+                tile_bits=tile_bits)
+            out_ref[0:1, k * gs:(k + 1) * gs] = key_lo
+            out_ref[1:11, k * gs:(k + 1) * gs] = win[:10]
+            out_ref[11:12, k * gs:(k + 1) * gs] = key_hi
+        if k0 * gs < BLKS:  # unused lane tail -> sentinel slots
+            sent = num_tiles << (32 - tile_bits)
+            tail = BLKS - k0 * gs
+            out_ref[0:1, k0 * gs:] = jnp.full((1, tail), sent & 0xFFFF,
+                                              jnp.float32)
+            out_ref[1:11, k0 * gs:] = jnp.zeros((10, tail), jnp.float32)
+            out_ref[11:12, k0 * gs:] = jnp.full(
+                (1, tail), (sent >> 16) & 0xFFFF, jnp.float32)
+        out_ref[12:, :] = jnp.zeros((OUT_ROWS - 12, BLKS), jnp.float32)
 
     # --- remainder region: the windowed one-hot expansion + decode
     @pl.when(b >= nd_blocks)
@@ -220,18 +256,23 @@ def _emit_kernel(lo_ref,                 # scalar-prefetch [nr_blocks+1] i32
         # owner's run was cut by the cap get j >= counts via the per-owner
         # bound; j < k0 can only arise from a zero-fill (start 0) and is
         # masked explicitly.
-        key, gid = _decode_slot(
+        key_lo, key_hi = _decode_slot(
             vals, j, tile_bw=tile_bw, num_tiles=num_tiles,
             tile_bits=tile_bits, extra_in=(j >= k0))
-        write_outs(key, gid, [vals[r] for r in range(9)])
+        out_ref[0:1, :] = key_lo
+        out_ref[1:11, :] = vals[:10]
+        out_ref[11:12, :] = key_hi
+        out_ref[12:, :] = jnp.zeros((OUT_ROWS - 12, BLKS), jnp.float32)
 
 
 def emit_sizes(n: int, k0: int, rem_cap: int):
     """Static emission geometry: (s_pad, n_pad, rem_pad). The dense region
-    is k-major over [k0, n_pad]; the remainder region is rem_pad wide."""
-    n_pad = -(-n // BLKS) * BLKS
+    is block-k-major over ceil(n/GS) blocks of GS splats x k0 slots; the
+    remainder region is rem_pad wide."""
+    gs = _dense_gs(k0)
+    nd_blocks = -(-n // gs)
     rem_pad = -(-rem_cap // BLKS) * BLKS
-    return k0 * n_pad + rem_pad, n_pad, rem_pad
+    return nd_blocks * BLKS + rem_pad, nd_blocks * gs, rem_pad
 
 
 @functools.partial(
@@ -243,11 +284,12 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
 
     table: [17, N] f32 (rows documented in the module docstring, without
     the start limbs — they are appended here). rem_starts: [N] i32
-    exclusive cumsum of max(counts - k0, 0). Returns
-    (key u32 [S_pad], payload rows 9 x f32 [S_pad], gid f32 [S_pad])
-    with S_pad from emit_sizes() — callers get the STATIC sizes from
-    emit_sizes(); this function is jitted, so returning them here would
-    hand back traced scalars.
+    exclusive cumsum of max(counts - k0, 0). Returns one f32 matrix
+    [OUT_ROWS, S_pad]: rows (0, 11) the combined u32 key as exact u16
+    limbs (lo, hi), rows 1..9 the payload, row 10 gid, rows 12..15 zero
+    padding — S_pad from
+    emit_sizes() (this function is jitted, so returning sizes here would
+    hand back traced scalars).
     """
     from brush_tpu.constants import TILE_WIDTH
     img_w, img_h = img_size
@@ -257,10 +299,10 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
 
     rows, n = table.shape
     assert rows == 17, table.shape
-    n_pad = -(-n // BLKS) * BLKS
+    gs = _dense_gs(k0)
+    nd_blocks = -(-n // gs)
+    n_pad = nd_blocks * gs
     rem_pad = -(-rem_cap // BLKS) * BLKS
-    nb = n_pad // BLKS
-    nd_blocks = k0 * nb
     nr_blocks = rem_pad // BLKS
     s_pad = nd_blocks * BLKS + rem_pad
 
@@ -271,7 +313,7 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
     ], axis=0)
     rows_aug = rows + 2
     rows_pad = -(-rows_aug // 8) * 8
-    lane_pad = n_pad + W  # window DMAs never run off the end
+    lane_pad = max(n_pad, -(-n // 128) * 128 + W)  # window DMAs stay in bounds
     aug = jnp.pad(aug, ((0, rows_pad - rows_aug), (0, lane_pad - n)))
 
     # Remainder owner windows: owner of slot s = last g with starts[g] <= s.
@@ -280,32 +322,25 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
         jnp.searchsorted(rem_starts, q, side="right").astype(jnp.int32) - 1,
         0)
 
-    out_shapes = ([jax.ShapeDtypeStruct((s_pad,), jnp.uint32)]
-                  + [jax.ShapeDtypeStruct((s_pad,), jnp.float32)] * 10)
-    out_specs = [pl.BlockSpec((BLKS,), lambda b, lo_: (b,))] * 11
-
     kernel = functools.partial(
-        _emit_kernel, nd_blocks=nd_blocks, nb=nb, n_pad=n_pad, k0=k0,
+        _emit_kernel, nd_blocks=nd_blocks, gs=gs, k0=k0,
         tile_bw=tile_bw, num_tiles=num_tiles, tile_bits=tile_bits,
         rows_pad=rows_pad)
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nd_blocks + nr_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec((OUT_ROWS, BLKS), lambda b, lo_: (0, b)),
             scratch_shapes=[
-                pltpu.VMEM((2, rows_pad, BLKS), jnp.float32),  # dense wins
+                pltpu.VMEM((2, rows_pad, gs), jnp.float32),   # dense wins
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((2, rows_pad, W), jnp.float32),   # rem windows
+                pltpu.VMEM((2, rows_pad, W), jnp.float32),    # rem windows
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=out_shapes,
+        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, s_pad), jnp.float32),
         interpret=interpret,
     )(lo, aug)
-    key = outs[0]
-    pays = outs[1:10]
-    gid = outs[10]
-    return key, pays, gid
+    return out

@@ -60,7 +60,7 @@ from brush_tpu.constants import (
     TILE_WIDTH,
     TRANSMITTANCE_EPS,
 )
-from brush_tpu.ops.tiling import CK, SOA_ROWS
+from brush_tpu.ops.tiling import CK, DIET_SOA_ROWS, SOA_ROWS
 
 TILE_PIX = TILE_WIDTH * TILE_WIDTH  # 1024
 W = CK + 128                        # DMA window: chunk + roll slack
@@ -116,6 +116,37 @@ def _window(buf_slot, r):
     return pltpu.roll(buf_slot, shift, 1)[:, :CK]
 
 
+def _f16_to_f32(u):
+    """Bit-exact equivalent of XLA's f16 -> f32 widening for f16 bit
+    patterns held in the LOW 16 bits of an int32 (normals, subnormals,
+    zeros, inf; f16 NaN never occurs — finite f32 inputs overflow to inf).
+    Lets the diet SoA's u16 pairs decode in-kernel to exactly the values
+    the unpacked pipeline would have carried."""
+    s = (u >> 15) & 1
+    e = (u >> 10) & 0x1F
+    m = u & 0x3FF
+    bits = (s << 31) | jnp.where(e == 31, (255 << 23) | (m << 13),
+                                 ((e + 112) << 23) | (m << 13))
+    val = pltpu.bitcast(bits, jnp.float32)
+    # subnormal/zero (e == 0): value = +-m * 2^-24, exact in f32
+    sub = jnp.where(s == 1, -1.0, 1.0) * (m.astype(jnp.float32)
+                                          * jnp.float32(2.0 ** -24))
+    return jnp.where(e == 0, sub, val)
+
+
+def _decode_diet(data):
+    """[DIET rows, CK] u16-pair rows (pack_fwd_rows layout) -> the 9
+    rasterizer rows [9, CK]: xy (tile-relative), conic, opac, rgb."""
+    u = pltpu.bitcast(data[:5], jnp.int32)
+    lo = _f16_to_f32(u & 0xFFFF)
+    hi = _f16_to_f32((u >> 16) & 0xFFFF)
+    # rows: 0 (mx, my), 1 (c00, c01), 2 (c11, opac), 3 (r, g), 4 (b, _)
+    return jnp.concatenate([
+        lo[0:1], hi[0:1], lo[1:2], hi[1:2], lo[2:3], hi[2:3],
+        lo[3:4], hi[3:4], lo[4:5],
+    ], axis=0)
+
+
 def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                 soa_ref,               # [16, S+pad] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
@@ -164,12 +195,20 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
             def _():
                 first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
 
-    # Pixel-center coordinates for this tile: [256, 1] on sublanes.
+    # Pixel-center coordinates for this tile: [256, 1] on sublanes. The
+    # diet path works tile-RELATIVE (pack_fwd_rows stores xy relative to
+    # the slot's emission tile == this tile): (px_abs - mx_abs) and
+    # (px_rel - mx_rel) round identically in f32 because the tile origin
+    # is an exact small integer in both reconstructions.
     pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
     tx = t % tile_bw
     ty = t // tile_bw
-    px = (tx * TILE_WIDTH + pix % TILE_WIDTH).astype(jnp.float32) + 0.5
-    py = (ty * TILE_WIDTH + pix // TILE_WIDTH).astype(jnp.float32) + 0.5
+    if fwd_only:
+        px = (pix % TILE_WIDTH).astype(jnp.float32) + 0.5
+        py = (pix // TILE_WIDTH).astype(jnp.float32) + 0.5
+    else:
+        px = (tx * TILE_WIDTH + pix % TILE_WIDTH).astype(jnp.float32) + 0.5
+        py = (ty * TILE_WIDTH + pix // TILE_WIDTH).astype(jnp.float32) + 0.5
 
     lane_ids = _lane_iota(1, CK)  # [1, CK]
     tri_strict, _ = _tri_masks(CK)
@@ -207,6 +246,8 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
 
         dma(slot, c).wait()
         data = _window(buf[slot], r)
+        if fwd_only:
+            data = _decode_diet(data)
 
         done_in = t_acc_signed < 0.0                            # [256, 1]
         t_acc = jnp.abs(t_acc_signed)
@@ -296,19 +337,22 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
                                     "xtile_prefetch"))
 def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
                              fwd_only=False, xtile_prefetch=True):
-    """Rasterize the sorted [16, S+pad] SoA -> tile image [T, R, 256].
+    """Rasterize the sorted SoA -> tile image [T, R, TILE_PIX].
 
     Tile rows: 0..2 rgb, 3 alpha, and (training variant only) 4 final
     transmittance, 5 useful-range length (for the backward pass), 6..7
     padding. `fwd_only=True` is the reference's inference specialization
-    (rasterize.rs:172-177 comptime `bwd_info=false`): R=4, no
-    backward bookkeeping computed or written.
+    (rasterize.rs:172-177 comptime `bwd_info=false`): R=4, no backward
+    bookkeeping computed or written, and `soa` is the DIET layout
+    ([DIET_SOA_ROWS, S+pad] undecoded u16-pair rows, tiling.py) decoded
+    in-kernel; the training variant takes the full [16, S+pad] SoA.
     """
     img_w, img_h = img_size
     tbw = -(-img_w // TILE_WIDTH)
     tbh = -(-img_h // TILE_WIDTH)
     n_tiles = tbw * tbh
     n_rows = 4 if fwd_only else 8
+    soa_rows = DIET_SOA_ROWS if fwd_only else SOA_ROWS
 
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1)]).reshape(1, 4)
 
@@ -323,7 +367,7 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
                                lambda t, ranges: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, SOA_ROWS, W), jnp.float32),
+            pltpu.VMEM((4, soa_rows, W), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

@@ -51,6 +51,10 @@ from brush_tpu.ops.tiling_key import (
 # 0 xy_x, 1 xy_y, 2 conic00, 3 conic01, 4 conic11, 5 opacity, 6..8 rgb,
 # 9 gid (exact in f32: gid < 2^24), 10..15 zero padding.
 SOA_ROWS = 16
+# Forward-only diet SoA (inference/viewer): the 5 u16-pair payload rows of
+# pack_fwd_rows, undecoded — rows 0 (xy rel pair), 1 (c00,c01), 2 (c11,
+# opac), 3 (r,g), 4 (b,0), 5..7 zero padding. Decoded in-kernel.
+DIET_SOA_ROWS = 8
 # Rasterizer chunk length (lanes). Must be a multiple of 256 (the backward's
 # chunk-indexed gradient blocks rely on CK-multiple lane offsets satisfying
 # Mosaic's 128-lane DMA alignment). Env-overridable for perf experiments.
@@ -294,11 +298,14 @@ def build_intersections(
     else:
         # Production path: the fused emission kernel writes the sort
         # operands in ONE pass (ops/emit_pallas.py) — the separate
-        # broadcasts/expansion/decodes/concats cost ~18 ms/frame as XLA ops.
+        # broadcasts/expansion/decodes/concats cost ~18 ms/frame as XLA
+        # ops. Round 5: the kernel emits ONE matrix (row 0 = key bits,
+        # 1..9 payload, 10 gid); row slices feed the sort.
         from brush_tpu.ops.emit_pallas import emit_sizes, emit_slots
-        key, pays, gid_f = emit_slots(table, rem_starts, k0, rem_cap,
-                                      img_size)
-        rows10 = list(pays) + [gid_f]
+        emat = emit_slots(table, rem_starts, k0, rem_cap, img_size)
+        key = (emat[0].astype(jnp.uint32)
+               | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
+        rows10 = [emat[r] for r in range(1, 11)]
         # The kernel's remainder region is BLKS-padded; runs truncate at
         # its edge, so surviving-slot counts use the padded capacity.
         # Sizes come from the STATIC helper — emit_slots is jitted and
@@ -318,14 +325,20 @@ def build_intersections(
     if with_bwd_info:
         key_sorted, rows_sorted = sort_packed(key, rows10)
         gid_from_isect = rows_sorted[9].astype(jnp.int32)
+        soa_rows = SOA_ROWS
     else:
-        from brush_tpu.ops.tiling_key import pack_fwd_rows, unpack_fwd_rows
+        from brush_tpu.ops.tiling_key import pack_fwd_rows
         key_sorted, packed_sorted = sort_packed(
             key, pack_fwd_rows(key, rows10[:9], num_tiles, tile_bw))
-        rows_sorted = unpack_fwd_rows(key_sorted, packed_sorted,
-                                      num_tiles, tile_bw)
+        # The 5 u16-pair rows go STRAIGHT into the diet SoA — no XLA
+        # unpack pass, half the stack width, half the rasterizer input
+        # bandwidth. The fwd kernel decodes the pairs per chunk with the
+        # bit-exact equivalent of XLA's f16->f32 (rasterize_pallas
+        # _f16_to_f32), so pixels stay bitwise identical to the unpacked
+        # pipeline.
+        rows_sorted = packed_sorted
         gid_from_isect = jnp.zeros((0,), jnp.int32)
-        rows_sorted = rows_sorted + [jnp.zeros_like(rows_sorted[0])]
+        soa_rows = DIET_SOA_ROWS
 
     # Assemble the kernel SoA with the block-pipelined Pallas stack (XLA's
     # own 1-D-rows -> matrix stack measured ~280 ms at 24M lanes); the tail
@@ -333,7 +346,7 @@ def build_intersections(
     # inert, and the width rounds up past LANE_PAD so window DMAs stay
     # in bounds.
     from brush_tpu.ops.scan_pallas import stack_rows
-    soa = stack_rows(rows_sorted, SOA_ROWS, s_cap + LANE_PAD)
+    soa = stack_rows(rows_sorted, soa_rows, s_cap + LANE_PAD)
 
     bounds = jnp.searchsorted(
         key_sorted, tile_boundary_keys(num_tiles),

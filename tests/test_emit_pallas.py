@@ -96,9 +96,10 @@ def test_emit_kernel_matches_jnp(seed, k0, rem_cap):
 
     img_h_tiles = num_tiles // tile_bw
     img = (tile_bw * TILE_WIDTH, img_h_tiles * TILE_WIDTH)
-    key_k, pays_k, gid_k = emit_slots(
-        table, rem_starts, k0, rem_cap, img, interpret=True)
-    rows_k = list(pays_k) + [gid_k]
+    emat = emit_slots(table, rem_starts, k0, rem_cap, img, interpret=True)
+    key_k = (emat[0].astype(jnp.uint32)
+             | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
+    rows_k = [emat[r] for r in range(1, 11)]
 
     a = _real_slot_rows(key_j, rows_j, num_tiles)
     b = _real_slot_rows(key_k, rows_k, num_tiles)
@@ -119,8 +120,9 @@ def test_emit_kernel_giant_splat_tail():
         table, hit_mask, counts, pc, depth_bits, rem_starts, rem_needed,
         n, k0, rem_cap, tile_bw, num_tiles)
     img = (512, 512)
-    key_k, pays_k, gid_k = emit_slots(
-        table, rem_starts, k0, rem_cap, img, interpret=True)
+    emat = emit_slots(table, rem_starts, k0, rem_cap, img, interpret=True)
+    key_k = (emat[0].astype(jnp.uint32)
+             | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
     a = _real_slot_rows(key_j, rows_j, num_tiles)
-    b = _real_slot_rows(key_k, list(pays_k) + [gid_k], num_tiles)
+    b = _real_slot_rows(key_k, [emat[r] for r in range(1, 11)], num_tiles)
     np.testing.assert_array_equal(a, b)
