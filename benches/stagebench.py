@@ -97,7 +97,7 @@ def main():
         hit_mask, counts = T.exact_tile_counts(proj)
         depth_bits = jax.lax.bitcast_convert_type(
             jnp.maximum(proj.depth, 0.0), jnp.int32)
-        table = jnp.stack([
+        table = [
             proj.mean2d[:, 0], proj.mean2d[:, 1],
             proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             proj.opac,
@@ -111,7 +111,7 @@ def main():
             counts.astype(jnp.float32),
             (hit_mask & jnp.uint32(0xFFFF)).astype(jnp.float32),
             (hit_mask >> jnp.uint32(16)).astype(jnp.float32),
-        ], axis=0)
+        ]
         rem_counts = jnp.maximum(counts - k0, 0)
         rem_cum = T._cumsum_flat(rem_counts)
         rem_starts = (rem_cum - rem_counts).astype(jnp.int32)
@@ -136,7 +136,7 @@ def main():
     @jax.jit
     def fcounts(m):
         table, rem_starts = stage_counts(m)
-        return m + 0.0 * (table[0, :1] + rem_starts[:1].astype(jnp.float32))
+        return m + 0.0 * (table[0][:1] + rem_starts[:1].astype(jnp.float32))
     chain_time(fcounts, args[0], label="counts")
 
     @jax.jit
@@ -226,6 +226,46 @@ def main():
         o = tiles_to_image(tiles, img)
         return s + 0.0 * o[0, 0, 0]
     chain_time(fkern_fwd, soa_f, label="kernel_only_fwdonly")
+
+    # --- backward split (the train-steps/s blocker, SUITE_r05:
+    # backward 1M@1080p = 251 ms) ------------------------------------
+    from brush_tpu.ops.rasterize_pallas import (
+        _reduce_grads_sorted, image_to_tiles, rasterize_backward_pallas)
+    n = n_splats
+    chunk_cap = rcfg.resolved_chunk_cap(n)
+    tiles_fwd = jax.jit(lambda s: rasterize_forward_pallas(
+        s, ranges, bg, img))(soa)
+    v_img = jnp.ones((img[1], img[0], 4), jnp.float32) * 0.1
+    v_tiles = jax.jit(lambda v: image_to_tiles(v, img))(v_img)
+
+    @jax.jit
+    def fbwdk(s):
+        g = rasterize_backward_pallas(s, ranges, isect.chunk_starts,
+                                      tiles_fwd, v_tiles, bg, img,
+                                      chunk_cap)
+        return s + 0.0 * g[0, :1]
+    chain_time(fbwdk, soa, label="bwd_kernel_only")
+
+    grads3 = jax.jit(lambda s: rasterize_backward_pallas(
+        s, ranges, isect.chunk_starts, tiles_fwd, v_tiles, bg, img,
+        chunk_cap))(soa)
+
+    @jax.jit
+    def fbwdr(g):
+        per = _reduce_grads_sorted(g, isect.num_chunks,
+                                   isect.surv_starts_g,
+                                   isect.surv_counts_g, n)
+        return g + 0.0 * per[0, :1]
+    chain_time(fbwdr, grads3, label="bwd_reduce_only")
+
+    @jax.jit
+    def fbwd_total(m):
+        def loss(mm):
+            out, _ = render(mm, *args[1:], cam_in, bg, rcfg)
+            return jnp.sum(out[..., :3] * 0.1)
+        g = jax.grad(loss)(m)
+        return m + 0.0 * g[:1]
+    chain_time(fbwd_total, args[0], label="backward_total")
 
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]

@@ -55,19 +55,24 @@ from brush_tpu.ops.tiling_key import B_SCAN
 
 import os as _os
 
-# Slots per grid step / remainder owner-window width (gids per DMA). Only
-# the defaults are covered by the parity suites, so overrides require an
+# Slots per grid step / remainder inner sub-chunk width / remainder
+# owner-window width (gids per DMA). The grid carries a measurable
+# per-step floor (~10 us/step with manual DMAs + a matrix output on v5e),
+# so steps are BIG; the remainder math runs in RSUB-wide sub-chunks
+# inside each step to bound the [W, RSUB] one-hot working set. Only the
+# defaults are covered by the parity suites, so overrides require an
 # explicit unsafe opt-in — a stray env var must not silently retile the
 # production kernel.
-BLKS, W = 4096, 256
+BLKS, RSUB, W = 16384, 4096, 256
 if _os.environ.get("BRUSH_TPU_UNSAFE_TUNE") == "1":
     import warnings as _warnings
     BLKS = int(_os.environ.get("BRUSH_TPU_EMIT_BLKS", BLKS))
     W = int(_os.environ.get("BRUSH_TPU_EMIT_W", W))
-    if (BLKS, W) != (4096, 256):
+    if (BLKS, W) != (16384, 256):
         _warnings.warn(
             f"emit kernel geometry overridden to BLKS={BLKS} W={W} "
             "(BRUSH_TPU_UNSAFE_TUNE) — untested tiling", stacklevel=1)
+assert BLKS % RSUB == 0
 
 OUT_ROWS = 16  # key + 9 payload + gid, padded to the f32 sublane tile
 
@@ -175,17 +180,12 @@ def _emit_kernel(lo_ref,                 # scalar-prefetch [nr_blocks+1] i32
                 (1, tail), (sent >> 16) & 0xFFFF, jnp.float32)
         out_ref[12:, :] = jnp.zeros((OUT_ROWS - 12, BLKS), jnp.float32)
 
-    # --- remainder region: the windowed one-hot expansion + decode
+    # --- remainder region: the windowed one-hot expansion + decode,
+    # processed as BLKS/RSUB inner sub-chunks so the [W, RSUB] one-hot
+    # and the accumulator stay VMEM-sized while grid steps stay big.
     @pl.when(b >= nd_blocks)
     def _():
         rb = b - nd_blocks
-        lo = lo_ref[rb]
-        hi = lo_ref[rb + 1]
-        w0 = (lo // 128) * 128
-        n_win = (hi - w0) // W + 1
-
-        slot0 = rb * BLKS
-        slots = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, BLKS), 1)
         jj = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
         kk = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
         eye = (jj == kk).astype(jnp.float32)
@@ -213,56 +213,68 @@ def _emit_kernel(lo_ref,                 # scalar-prefetch [nr_blocks+1] i32
                                        preferred_element_type=jnp.float32)
             return out
 
-        def dma(slot, kwin):
-            off = pl.multiple_of(w0 + kwin * W, 128)
-            return pltpu.make_async_copy(
-                table_ref.at[:, pl.ds(off, W)], tbuf.at[slot],
-                tsem.at[slot])
+        for i in range(BLKS // RSUB):
+            sid = rb * (BLKS // RSUB) + i
+            lo = lo_ref[sid]
+            hi = lo_ref[sid + 1]
+            w0 = (lo // 128) * 128
+            n_win = (hi - w0) // W + 1
 
-        dma(0, 0).start()
+            slot0 = sid * RSUB
+            slots = slot0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, RSUB), 1)
 
-        def cond(carry):
-            kwin, _ = carry
-            return kwin < n_win
+            def dma(slot, kwin, w0=w0):
+                off = pl.multiple_of(w0 + kwin * W, 128)
+                return pltpu.make_async_copy(
+                    table_ref.at[:, pl.ds(off, W)], tbuf.at[slot],
+                    tsem.at[slot])
 
-        def body(carry):
-            kwin, acc = carry
-            slot = kwin % 2
+            dma(0, 0).start()
 
-            @pl.when(kwin + 1 < n_win)
-            def _():
-                dma(1 - slot, kwin + 1).start()
-            dma(slot, kwin).wait()
+            def cond(carry):
+                kwin, _ = carry
+                return kwin < n_win
 
-            win = tbuf[slot]                             # [rows_pad, W]
-            sc = (to_col(win[17:18]).astype(jnp.int32)
-                  + to_col(win[18:19]).astype(jnp.int32) * 4096)
-            cnt = to_col(win[14:15]).astype(jnp.int32)
-            rc = jnp.maximum(cnt - k0, 0)
-            onehot = ((sc <= slots) & (slots < sc + rc)
-                      ).astype(jnp.float32)              # [W, BLKS]
-            acc = acc + dot_onehot(win, onehot)
-            return (kwin + 1, acc)
+            def body(carry, slots=slots, dma=dma):
+                kwin, acc = carry
+                slot = kwin % 2
 
-        _, vals = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32),
-                         jnp.zeros((rows_pad, BLKS), jnp.float32)))
+                @pl.when(kwin + 1 < n_win)
+                def _():
+                    dma(1 - slot, kwin + 1).start()
+                dma(slot, kwin).wait()
 
-        start = (vals[17:18].astype(jnp.int32)
-                 + vals[18:19].astype(jnp.int32) * 4096)
-        j = k0 + (slots - start)
-        # Out-of-budget slots (truncated expansion / past rem_needed) have
-        # all-zero vals -> counts 0 -> j >= counts -> sentinel. Slots whose
-        # owner's run was cut by the cap get j >= counts via the per-owner
-        # bound; j < k0 can only arise from a zero-fill (start 0) and is
-        # masked explicitly.
-        key_lo, key_hi = _decode_slot(
-            vals, j, tile_bw=tile_bw, num_tiles=num_tiles,
-            tile_bits=tile_bits, extra_in=(j >= k0))
-        out_ref[0:1, :] = key_lo
-        out_ref[1:11, :] = vals[:10]
-        out_ref[11:12, :] = key_hi
-        out_ref[12:, :] = jnp.zeros((OUT_ROWS - 12, BLKS), jnp.float32)
+                win = tbuf[slot]                         # [rows_pad, W]
+                sc = (to_col(win[17:18]).astype(jnp.int32)
+                      + to_col(win[18:19]).astype(jnp.int32) * 4096)
+                cnt = to_col(win[14:15]).astype(jnp.int32)
+                rc = jnp.maximum(cnt - k0, 0)
+                onehot = ((sc <= slots) & (slots < sc + rc)
+                          ).astype(jnp.float32)          # [W, RSUB]
+                acc = acc + dot_onehot(win, onehot)
+                return (kwin + 1, acc)
+
+            _, vals = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32),
+                             jnp.zeros((rows_pad, RSUB), jnp.float32)))
+
+            start = (vals[17:18].astype(jnp.int32)
+                     + vals[18:19].astype(jnp.int32) * 4096)
+            j = k0 + (slots - start)
+            # Out-of-budget slots (truncated expansion / past rem_needed)
+            # have all-zero vals -> counts 0 -> j >= counts -> sentinel.
+            # Slots whose owner's run was cut by the cap get j >= counts
+            # via the per-owner bound; j < k0 can only arise from a
+            # zero-fill (start 0) and is masked explicitly.
+            key_lo, key_hi = _decode_slot(
+                vals, j, tile_bw=tile_bw, num_tiles=num_tiles,
+                tile_bits=tile_bits, extra_in=(j >= k0))
+            sl = slice(i * RSUB, (i + 1) * RSUB)
+            out_ref[0:1, sl] = key_lo
+            out_ref[1:11, sl] = vals[:10]
+            out_ref[11:12, sl] = key_hi
+            out_ref[12:, sl] = jnp.zeros((OUT_ROWS - 12, RSUB), jnp.float32)
 
 
 def emit_sizes(n: int, k0: int, rem_cap: int):
@@ -278,18 +290,19 @@ def emit_sizes(n: int, k0: int, rem_cap: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k0", "rem_cap", "img_size", "interpret"))
-def emit_slots(table, rem_starts, k0: int, rem_cap: int,
+def emit_slots(table_rows, rem_starts, k0: int, rem_cap: int,
                img_size: tuple[int, int], interpret: bool = False):
-    """Emit the tile-sort operands from the per-splat attribute table.
+    """Emit the tile-sort operands from the per-splat attribute rows.
 
-    table: [17, N] f32 (rows documented in the module docstring, without
-    the start limbs — they are appended here). rem_starts: [N] i32
-    exclusive cumsum of max(counts - k0, 0). Returns one f32 matrix
-    [OUT_ROWS, S_pad]: rows (0, 11) the combined u32 key as exact u16
-    limbs (lo, hi), rows 1..9 the payload, row 10 gid, rows 12..15 zero
-    padding — S_pad from
-    emit_sizes() (this function is jitted, so returning sizes here would
-    hand back traced scalars).
+    table_rows: 17 f32 [N] arrays (rows documented in the module
+    docstring, without the start limbs — they are appended here). The aug
+    table assembles via the Pallas row stack — XLA's strided 1-D-rows ->
+    matrix stack measured ~8 ms at [17, 1M] inside the counts stage.
+    rem_starts: [N] i32 exclusive cumsum of max(counts - k0, 0). Returns
+    one f32 matrix [OUT_ROWS, S_pad]: rows (0, 11) the combined u32 key
+    as exact u16 limbs (lo, hi), rows 1..9 the payload, row 10 gid, rows
+    12..15 zero padding — S_pad from emit_sizes() (this function is
+    jitted, so returning sizes here would hand back traced scalars).
     """
     from brush_tpu.constants import TILE_WIDTH
     img_w, img_h = img_size
@@ -297,8 +310,9 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
     num_tiles = tile_bw * (-(-img_h // TILE_WIDTH))
     tile_bits = max(int(num_tiles).bit_length(), 1)
 
-    rows, n = table.shape
-    assert rows == 17, table.shape
+    table_rows = list(table_rows)
+    assert len(table_rows) == 17, len(table_rows)
+    n = table_rows[0].shape[0]
     gs = _dense_gs(k0)
     nd_blocks = -(-n // gs)
     n_pad = nd_blocks * gs
@@ -306,18 +320,17 @@ def emit_slots(table, rem_starts, k0: int, rem_cap: int,
     nr_blocks = rem_pad // BLKS
     s_pad = nd_blocks * BLKS + rem_pad
 
-    aug = jnp.concatenate([
-        table,
-        (rem_starts % 4096).astype(jnp.float32)[None],
-        (rem_starts // 4096).astype(jnp.float32)[None],
-    ], axis=0)
-    rows_aug = rows + 2
-    rows_pad = -(-rows_aug // 8) * 8
+    rows_pad = -(-19 // 8) * 8
     lane_pad = max(n_pad, -(-n // 128) * 128 + W)  # window DMAs stay in bounds
-    aug = jnp.pad(aug, ((0, rows_pad - rows_aug), (0, lane_pad - n)))
+    from brush_tpu.ops.scan_pallas import stack_rows
+    aug = stack_rows(
+        table_rows + [(rem_starts % 4096).astype(jnp.float32),
+                      (rem_starts // 4096).astype(jnp.float32)],
+        rows_pad, lane_pad, interpret=interpret)
 
-    # Remainder owner windows: owner of slot s = last g with starts[g] <= s.
-    q = jnp.arange(nr_blocks + 1, dtype=jnp.int32) * BLKS
+    # Remainder owner windows at sub-chunk granularity: owner of slot s =
+    # last g with starts[g] <= s.
+    q = jnp.arange(rem_pad // RSUB + 1, dtype=jnp.int32) * RSUB
     lo = jnp.maximum(
         jnp.searchsorted(rem_starts, q, side="right").astype(jnp.int32) - 1,
         0)

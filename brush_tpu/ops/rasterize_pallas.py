@@ -66,6 +66,7 @@ TILE_PIX = TILE_WIDTH * TILE_WIDTH  # 1024
 W = CK + 128                        # DMA window: chunk + roll slack
 QPIX = 256                          # backward pixel sub-block (VMEM budget)
 Q_SUB = TILE_PIX // QPIX
+TPG = 4                             # tiles per forward grid step
 
 
 def _lane_iota(n_rows, n_lanes):
@@ -147,33 +148,18 @@ def _decode_diet(data):
     ], axis=0)
 
 
-def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
-                soa_ref,               # [16, S+pad] f32 in ANY/HBM
+def _fwd_kernel(ranges_ref,            # scalar-prefetch [T_pad*2] int32 (SMEM)
+                soa_ref,               # [16|8, S+pad] f32 in ANY/HBM
                 bg_ref,                # [1, 4] f32 SMEM: rgb + pad
-                out_ref,               # [1, 8|4, 256] VMEM block per tile
-                buf, sem,              # scratch: [4, 16, W] VMEM, DMA sems (4,)
+                out_ref,               # [TPG, 8|4, 256] VMEM block per step
+                buf, sem,              # scratch: [4, rows, W] VMEM, DMA sems
                 *, tile_bw: int, n_tiles: int, fwd_only: bool,
-                xtile: bool = True):
-    t = pl.program_id(0)
-    # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded to
-    # x128, blowing the 1 MB SMEM budget at 1080p tile counts.
-    start = ranges_ref[2 * t]
-    end = ranges_ref[2 * t + 1]
-    span = end - start
-    nchunks = jnp.where(span > 0, (span + CK - 1) // CK, 0)
-    al = (start // 128) * 128
-    r = start - al
+                xtile: bool = True, tpg: int = 1):
+    s_id = pl.program_id(0)
 
-    # Cross-tile pipelining: manual DMAs don't overlap across grid steps,
-    # so tile t's FIRST chunk would expose its full HBM latency every tile
-    # (~8k tiles/frame). Instead each tile prefetches the next tile's first
-    # chunk into a parity slot (2 + t%2) while it computes; tile 0 pays the
-    # latency once. Slots 0/1 stay the intra-tile double buffer.
-    # `xtile=False` (smoke-test A/B only) disables the cross-tile prefetch:
-    # chunk 0 rides the plain double buffer with its DMA started (and fully
-    # waited) inside the chunk loop — numerically identical by construction,
-    # just latency-exposed. SMOKE_r05's deep-wall addendum runs both.
-    p_slot = 2 + jax.lax.rem(t, 2)
+    lane_ids = _lane_iota(1, CK)  # [1, CK]
+    tri_strict, _ = _tri_masks(CK)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
 
     def first_dma(slot, tt):
         s2 = ranges_ref[2 * tt]
@@ -182,154 +168,225 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32 (SMEM)
             soa_ref.at[:, pl.ds(pl.multiple_of(al2, 128), W)],
             buf.at[slot], sem.at[slot])
 
-    if xtile:
-        @pl.when((t == 0) & (nchunks > 0))
-        def _():
-            first_dma(p_slot, t).start()
+    # The grid carries a per-step floor (~several us with manual DMAs), so
+    # each step rasterizes `tpg` consecutive tiles; the trailing partial
+    # step pads with span-0 tiles (ranges padded host-side).
+    for ti in range(tpg):
+        t = s_id * tpg + ti
+        # Ranges are flattened 1-D: 2-D int32 SMEM arrays get lane-padded
+        # to x128, blowing the 1 MB SMEM budget at 1080p tile counts.
+        start = ranges_ref[2 * t]
+        end = ranges_ref[2 * t + 1]
+        span = end - start
+        nchunks = jnp.where(span > 0, (span + CK - 1) // CK, 0)
+        al = (start // 128) * 128
+        r = start - al
 
-        @pl.when(t + 1 < n_tiles)
-        def _():
-            nspan = ranges_ref[2 * t + 3] - ranges_ref[2 * t + 2]
+        # Cross-tile pipelining: manual DMAs don't overlap across grid
+        # steps, so tile t's FIRST chunk would expose its full HBM latency
+        # every tile (~8k tiles/frame). Instead each tile prefetches the
+        # next tile's first chunk into a parity slot (2 + t%2) while it
+        # computes; tile 0 pays the latency once. Slots 0/1 stay the
+        # intra-tile double buffer. `xtile=False` (smoke-test A/B only)
+        # disables the cross-tile prefetch: chunk 0 rides the plain double
+        # buffer, numerically identical by construction, just
+        # latency-exposed. SMOKE_r05's deep-wall addendum runs both.
+        p_slot = 2 + jax.lax.rem(t, 2)
 
-            @pl.when(nspan > 0)
-            def _():
-                first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
-
-    # Pixel-center coordinates for this tile: [256, 1] on sublanes. The
-    # diet path works tile-RELATIVE (pack_fwd_rows stores xy relative to
-    # the slot's emission tile == this tile): (px_abs - mx_abs) and
-    # (px_rel - mx_rel) round identically in f32 because the tile origin
-    # is an exact small integer in both reconstructions.
-    pix = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, 1), 0)
-    tx = t % tile_bw
-    ty = t // tile_bw
-    if fwd_only:
-        px = (pix % TILE_WIDTH).astype(jnp.float32) + 0.5
-        py = (pix // TILE_WIDTH).astype(jnp.float32) + 0.5
-    else:
-        px = (tx * TILE_WIDTH + pix % TILE_WIDTH).astype(jnp.float32) + 0.5
-        py = (ty * TILE_WIDTH + pix // TILE_WIDTH).astype(jnp.float32) + 0.5
-
-    lane_ids = _lane_iota(1, CK)  # [1, CK]
-    tri_strict, _ = _tri_masks(CK)
-
-    def dma(slot, chunk):
-        off = pl.multiple_of(al + chunk * CK, 128)
-        return pltpu.make_async_copy(
-            soa_ref.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot])
-
-    # Per-pixel `done` rides in the sign of the carried transmittance: done
-    # pixels carry -T. (A done pixel's frozen T stays > eps, so the prefix
-    # test alone could wrongly re-admit later tiny alphas — the reference's
-    # `done` flag is sticky, rasterize.rs:138-139.)
-    def cond2(carry):
-        c, rgb, t_acc, ndone, last_useful = carry
-        return (c < nchunks) & (ndone < TILE_PIX)
-
-    def body2(carry):
-        c, rgb, t_acc_signed, ndone, last_useful = carry
-        # Chunk 0 arrives in the cross-tile prefetch slot; chunks >= 1 use
-        # the intra-tile double buffer. dma(p_slot, 0) reconstructs the
-        # exact descriptor first_dma started (al + 0 == al2 for this tile).
         if xtile:
-            slot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
-        else:
-            slot = jax.lax.rem(c, 2)
-
-            @pl.when(c == 0)
+            @pl.when((t == 0) & (nchunks > 0))
             def _():
-                dma(0, 0).start()
+                first_dma(p_slot, t).start()
 
-        @pl.when(c + 1 < nchunks)
-        def _():
-            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                nspan = ranges_ref[2 * t + 3] - ranges_ref[2 * t + 2]
 
-        dma(slot, c).wait()
-        data = _window(buf[slot], r)
+                @pl.when(nspan > 0)
+                def _():
+                    first_dma(2 + jax.lax.rem(t + 1, 2), t + 1).start()
+
+        # Pixel-center coordinates for this tile: [256, 1] on sublanes.
+        # The diet path works tile-RELATIVE (pack_fwd_rows stores xy
+        # relative to the slot's emission tile == this tile):
+        # (px_abs - mx_abs) and (px_rel - mx_rel) round identically in f32
+        # because the tile origin is an exact small integer in both
+        # reconstructions.
         if fwd_only:
-            data = _decode_diet(data)
+            px = (pix % TILE_WIDTH).astype(jnp.float32) + 0.5
+            py = (pix // TILE_WIDTH).astype(jnp.float32) + 0.5
+        else:
+            tx = t % tile_bw
+            ty = t // tile_bw
+            px = (tx * TILE_WIDTH + pix % TILE_WIDTH
+                  ).astype(jnp.float32) + 0.5
+            py = (ty * TILE_WIDTH + pix // TILE_WIDTH
+                  ).astype(jnp.float32) + 0.5
 
-        done_in = t_acc_signed < 0.0                            # [256, 1]
-        t_acc = jnp.abs(t_acc_signed)
+        def dma(slot, chunk, al=al):
+            off = pl.multiple_of(al + chunk * CK, 128)
+            return pltpu.make_async_copy(
+                soa_ref.at[:, pl.ds(off, W)], buf.at[slot], sem.at[slot])
 
-        isect = start + c * CK + lane_ids
-        in_span = lane_ids < (span - c * CK)                    # [1, CK]
+        # Per-pixel `done` rides in the sign of the carried transmittance:
+        # done pixels carry -T. (A done pixel's frozen T stays > eps, so
+        # the prefix test alone could wrongly re-admit later tiny alphas —
+        # the reference's `done` flag is sticky, rasterize.rs:138-139.)
+        def cond2(carry):
+            c, rgb, t_acc, ndone, last_useful = carry
+            return (c < nchunks) & (ndone < TILE_PIX)
 
-        dx = px - data[0:1, :]
-        dy = py - data[1:2, :]
-        sigma = (0.5 * (data[2:3, :] * dx * dx + data[4:5, :] * dy * dy)
-                 + data[3:4, :] * dx * dy)
-        alpha = jnp.minimum(ALPHA_CAP, data[5:6, :] * jnp.exp(-sigma))
-        gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID) & in_span
-        a = jnp.where(gate, alpha, 0.0)
+        def body2(carry, nchunks=nchunks, p_slot=p_slot, dma=dma, r=r,
+                  start=start, span=span, px=px, py=py):
+            c, rgb, t_acc_signed, ndone, last_useful = carry
+            # Chunk 0 arrives in the cross-tile prefetch slot; chunks >= 1
+            # use the intra-tile double buffer. dma(p_slot, 0) reconstructs
+            # the exact descriptor first_dma started (al + 0 == al2).
+            if xtile:
+                slot = jnp.where(c == 0, p_slot, jax.lax.rem(c, 2))
+            else:
+                slot = jax.lax.rem(c, 2)
 
-        one_minus = 1.0 - a
-        # Exclusive lane cumprod via log-space MXU prefix (see _prefix_mxu);
-        # alpha caps at 0.999 so log(one_minus) is finite.
-        cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
-        s_excl = t_acc * cp_excl
-        s_incl = s_excl * one_minus
-        blended = (s_incl > TRANSMITTANCE_EPS) & ~done_in
-        w = jnp.where(blended, a * s_excl, 0.0)
+                @pl.when(c == 0)
+                def _():
+                    dma(0, 0).start()
 
-        cmax = jnp.maximum(data[6:9, :], 0.0)
-        rgb = rgb + jax.lax.dot_general(
-            w, cmax, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+            @pl.when(c + 1 < nchunks)
+            def _():
+                dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
-        # Product over the blended prefix == its last inclusive transmittance
-        # (s_incl is non-increasing over the prefix); reduce_prod has no
-        # Pallas TPU lowering, min does.
-        t_new = jnp.min(jnp.where(blended, s_incl, t_acc), axis=1,
-                        keepdims=True)
-        crossed = jnp.any((s_incl <= TRANSMITTANCE_EPS) & ~done_in,
-                          axis=1, keepdims=True)
-        done_out = done_in | crossed
-        t_signed = jnp.where(done_out, -t_new, t_new)
+            dma(slot, c).wait()
+            data = _window(buf[slot], r)
+            if fwd_only:
+                data = _decode_diet(data)
 
+            done_in = t_acc_signed < 0.0                        # [256, 1]
+            t_acc = jnp.abs(t_acc_signed)
+
+            isect = start + c * CK + lane_ids
+            in_span = lane_ids < (span - c * CK)                # [1, CK]
+
+            if fwd_only:
+                # sigma as ONE basis matmul on the MXU: sigma(p, s) =
+                # [px^2, px*py, py^2, px, py, 1] . coeffs(s). The basis is
+                # per-tile constant; the 6 coeff rows are per-SLOT ops
+                # ([1, CK], ~free), replacing ~11 VPU passes over the full
+                # [TILE_PIX, CK] block. Precision.HIGHEST keeps the
+                # contraction f32-faithful; magnitudes self-regulate
+                # (tile-relative coords, contributing sigma <= ~12), and
+                # the fwd-only 2/255 budget absorbs the reassociation.
+                mx, my = data[0:1, :], data[1:2, :]
+                c00, c01, c11 = data[2:3, :], data[3:4, :], data[4:5, :]
+                coeffs = jnp.concatenate([
+                    0.5 * c00, c01, 0.5 * c11,
+                    -(c00 * mx + c01 * my),
+                    -(c01 * mx + c11 * my),
+                    0.5 * c00 * mx * mx + c01 * mx * my
+                    + 0.5 * c11 * my * my,
+                    jnp.zeros_like(mx), jnp.zeros_like(mx),
+                ], axis=0)                                      # [8, CK]
+                basis = jnp.concatenate([
+                    px * px, px * py, py * py, px, py,
+                    jnp.ones_like(px), jnp.zeros_like(px),
+                    jnp.zeros_like(px),
+                ], axis=1)                                      # [256, 8]
+                sigma = jax.lax.dot_general(
+                    basis, coeffs, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            else:
+                dx = px - data[0:1, :]
+                dy = py - data[1:2, :]
+                sigma = (0.5 * (data[2:3, :] * dx * dx
+                                + data[4:5, :] * dy * dy)
+                         + data[3:4, :] * dx * dy)
+            if fwd_only:
+                # The basis reassociation carries a ~1e-6 ABSOLUTE error
+                # floor (the two-sided form's error vanishes with sigma),
+                # so the PSD gate needs a tolerance: a true sigma ~ 0
+                # (pixel at the splat center, alpha ~ opacity) must not be
+                # dropped by a -1e-6 rounding. Garbage conics reject as
+                # before (they go strongly negative or NaN).
+                alpha = jnp.minimum(
+                    ALPHA_CAP,
+                    data[5:6, :] * jnp.exp(-jnp.maximum(sigma, 0.0)))
+                gate = ((sigma >= -1e-4) & (alpha >= ALPHA_CUTOFF_MID)
+                        & in_span)
+            else:
+                alpha = jnp.minimum(ALPHA_CAP,
+                                    data[5:6, :] * jnp.exp(-sigma))
+                gate = ((sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID)
+                        & in_span)
+            a = jnp.where(gate, alpha, 0.0)
+
+            one_minus = 1.0 - a
+            # Exclusive lane cumprod via log-space MXU prefix
+            # (_prefix_mxu); alpha caps at 0.999 so log stays finite.
+            cp_excl = jnp.exp(_prefix_mxu(jnp.log(one_minus), tri_strict))
+            s_excl = t_acc * cp_excl
+            s_incl = s_excl * one_minus
+            blended = (s_incl > TRANSMITTANCE_EPS) & ~done_in
+            w = jnp.where(blended, a * s_excl, 0.0)
+
+            cmax = jnp.maximum(data[6:9, :], 0.0)
+            rgb = rgb + jax.lax.dot_general(
+                w, cmax, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+            # Product over the blended prefix == its last inclusive
+            # transmittance (s_incl is non-increasing over the prefix);
+            # reduce_prod has no Pallas TPU lowering, min does.
+            t_new = jnp.min(jnp.where(blended, s_incl, t_acc), axis=1,
+                            keepdims=True)
+            crossed = jnp.any((s_incl <= TRANSMITTANCE_EPS) & ~done_in,
+                              axis=1, keepdims=True)
+            done_out = done_in | crossed
+            t_signed = jnp.where(done_out, -t_new, t_new)
+
+            if not fwd_only:
+                useful = jnp.max(jnp.where(
+                    jnp.any(blended & (a > 0.0), axis=0, keepdims=True),
+                    isect + 1, 0))
+                last_useful = jnp.maximum(last_useful, useful)
+            ndone = jnp.sum(done_out.astype(jnp.int32))
+
+            return (c + 1, rgb, t_signed, ndone, last_useful)
+
+        init2 = (
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((TILE_PIX, 3), jnp.float32),
+            jnp.ones((TILE_PIX, 1), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            start,
+        )
+        c_fin, rgb, t_signed, _, last_useful = jax.lax.while_loop(
+            cond2, body2, init2)
+        t_final = jnp.abs(t_signed)                             # [256, 1]
+
+        # Early exit leaves the c_fin prefetch in flight; drain it so the
+        # DMA semaphore carries no leftover signal into the next tile.
+        @pl.when(c_fin < nchunks)
+        def _():
+            dma(c_fin % 2, c_fin).wait()
+
+        bg_r = bg_ref[0, 0]
+        bg_g = bg_ref[0, 1]
+        bg_b = bg_ref[0, 2]
+        out_ref[ti, 0, :] = rgb[:, 0] + t_final[:, 0] * bg_r
+        out_ref[ti, 1, :] = rgb[:, 1] + t_final[:, 0] * bg_g
+        out_ref[ti, 2, :] = rgb[:, 2] + t_final[:, 0] * bg_b
+        out_ref[ti, 3, :] = 1.0 - t_final[:, 0]
         if not fwd_only:
-            useful = jnp.max(jnp.where(
-                jnp.any(blended & (a > 0.0), axis=0, keepdims=True),
-                isect + 1, 0))
-            last_useful = jnp.maximum(last_useful, useful)
-        ndone = jnp.sum(done_out.astype(jnp.int32))
-
-        return (c + 1, rgb, t_signed, ndone, last_useful)
-
-    init2 = (
-        jnp.asarray(0, jnp.int32),
-        jnp.zeros((TILE_PIX, 3), jnp.float32),
-        jnp.ones((TILE_PIX, 1), jnp.float32),
-        jnp.asarray(0, jnp.int32),
-        start,
-    )
-    c_fin, rgb, t_signed, _, last_useful = jax.lax.while_loop(
-        cond2, body2, init2)
-    t_final = jnp.abs(t_signed)                                 # [256, 1]
-
-    # Early exit leaves the c_fin prefetch in flight; drain it so the DMA
-    # semaphore carries no leftover signal into the next grid step.
-    @pl.when(c_fin < nchunks)
-    def _():
-        dma(c_fin % 2, c_fin).wait()
-
-    bg_r = bg_ref[0, 0]
-    bg_g = bg_ref[0, 1]
-    bg_b = bg_ref[0, 2]
-    out_ref[0, 0, :] = rgb[:, 0] + t_final[:, 0] * bg_r
-    out_ref[0, 1, :] = rgb[:, 1] + t_final[:, 0] * bg_g
-    out_ref[0, 2, :] = rgb[:, 2] + t_final[:, 0] * bg_b
-    out_ref[0, 3, :] = 1.0 - t_final[:, 0]
-    if not fwd_only:
-        out_ref[0, 4, :] = t_final[:, 0]
-        # Row 5: useful range length for the backward pass
-        # (rasterize.rs:181-187 tile-range shrinking). Exact in f32.
-        useful_len = (jnp.maximum(last_useful, start)
-                      - start).astype(jnp.float32)
-        out_ref[0, 5, :] = jnp.full((TILE_PIX,), 1.0, jnp.float32) * useful_len
-        out_ref[0, 6, :] = jnp.zeros((TILE_PIX,), jnp.float32)
-        out_ref[0, 7, :] = jnp.zeros((TILE_PIX,), jnp.float32)
+            out_ref[ti, 4, :] = t_final[:, 0]
+            # Row 5: useful range length for the backward pass
+            # (rasterize.rs:181-187 tile-range shrinking). Exact in f32.
+            useful_len = (jnp.maximum(last_useful, start)
+                          - start).astype(jnp.float32)
+            out_ref[ti, 5, :] = (jnp.full((TILE_PIX,), 1.0, jnp.float32)
+                                 * useful_len)
+            out_ref[ti, 6, :] = jnp.zeros((TILE_PIX,), jnp.float32)
+            out_ref[ti, 7, :] = jnp.zeros((TILE_PIX,), jnp.float32)
 
 
 @functools.partial(jax.jit,
@@ -353,18 +410,26 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
     n_tiles = tbw * tbh
     n_rows = 4 if fwd_only else 8
     soa_rows = DIET_SOA_ROWS if fwd_only else SOA_ROWS
+    # Tiles per grid step: amortizes the per-grid-step floor (~several us
+    # with manual DMAs) across TPG tiles; the trailing partial step reads
+    # span-0 padded ranges and writes garbage tiles past n_tiles that
+    # tiles_to_image never reads.
+    tpg = TPG
+    t_pad = -(-n_tiles // tpg) * tpg
 
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1)]).reshape(1, 4)
+    ranges_flat = jnp.pad(tile_ranges.reshape(-1),
+                          (0, (t_pad - n_tiles) * 2))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(t_pad // tpg,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # soa (manual DMA)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bg
         ],
-        out_specs=pl.BlockSpec((1, n_rows, TILE_PIX),
-                               lambda t, ranges: (t, 0, 0),
+        out_specs=pl.BlockSpec((tpg, n_rows, TILE_PIX),
+                               lambda s, ranges: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4, soa_rows, W), jnp.float32),
@@ -373,15 +438,16 @@ def rasterize_forward_pallas(soa, tile_ranges, bg, img_size, interpret=False,
     )
 
     kernel = functools.partial(_fwd_kernel, tile_bw=tbw, n_tiles=n_tiles,
-                               fwd_only=fwd_only, xtile=xtile_prefetch)
+                               fwd_only=fwd_only, xtile=xtile_prefetch,
+                               tpg=tpg)
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_rows, TILE_PIX),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n_rows, TILE_PIX),
                                        jnp.float32),
         interpret=interpret,
-    )(tile_ranges.reshape(-1), soa, bg4)
-    return tiles
+    )(ranges_flat, soa, bg4)
+    return tiles[:n_tiles]
 
 
 def tiles_to_image(tiles, img_size):

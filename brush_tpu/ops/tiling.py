@@ -263,11 +263,14 @@ def build_intersections(
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(proj.depth, 0.0), jnp.int32)
 
-    # Per-splat attribute table, global order. Floats carry the small ints
+    # Per-splat attribute rows, global order. Floats carry the small ints
     # exactly (gid < 2^24, tile coords < 2^12, mask limbs < 2^16); the
     # depth key rides as a raw bit pattern (row 10) — gathers preserve
-    # bits, so it bitcasts back.
-    table = jnp.stack([
+    # bits, so it bitcasts back. Kept as a ROW LIST: the TPU path stacks
+    # them inside the emission kernel's Pallas row stack (XLA's strided
+    # [17, 1M] stack measured ~8 ms); only the CPU oracle materializes the
+    # matrix.
+    table_rows = [
         proj.mean2d[:, 0], proj.mean2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.opac,
@@ -281,7 +284,7 @@ def build_intersections(
         counts.astype(jnp.float32),                        # EXACT slot count
         (hit_mask & jnp.uint32(0xFFFF)).astype(jnp.float32),
         (hit_mask >> jnp.uint32(16)).astype(jnp.float32),
-    ], axis=0)                                             # [17, N]
+    ]                                                      # 17 x [N]
 
     # --- remainder bookkeeping (shared by both emission paths) ---
     rem_counts = jnp.maximum(counts - k0, 0)
@@ -293,8 +296,9 @@ def build_intersections(
         # Test/oracle path: plain jnp emission (owner lookup by binary
         # search + gather — fine on CPU), k-major dense + remainder.
         key, rows10, s_cap, eff_rem_cap = _emit_jnp(
-            table, hit_mask, counts, pc, depth_bits, rem_starts,
-            rem_needed, n, k0, rem_cap, tile_bw, num_tiles)
+            jnp.stack(table_rows, axis=0), hit_mask, counts, pc,
+            depth_bits, rem_starts, rem_needed, n, k0, rem_cap, tile_bw,
+            num_tiles)
     else:
         # Production path: the fused emission kernel writes the sort
         # operands in ONE pass (ops/emit_pallas.py) — the separate
@@ -302,7 +306,7 @@ def build_intersections(
         # ops. Round 5: the kernel emits ONE matrix (row 0 = key bits,
         # 1..9 payload, 10 gid); row slices feed the sort.
         from brush_tpu.ops.emit_pallas import emit_sizes, emit_slots
-        emat = emit_slots(table, rem_starts, k0, rem_cap, img_size)
+        emat = emit_slots(table_rows, rem_starts, k0, rem_cap, img_size)
         key = (emat[0].astype(jnp.uint32)
                | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
         rows10 = [emat[r] for r in range(1, 11)]

@@ -96,7 +96,8 @@ def test_emit_kernel_matches_jnp(seed, k0, rem_cap):
 
     img_h_tiles = num_tiles // tile_bw
     img = (tile_bw * TILE_WIDTH, img_h_tiles * TILE_WIDTH)
-    emat = emit_slots(table, rem_starts, k0, rem_cap, img, interpret=True)
+    emat = emit_slots([table[i] for i in range(17)], rem_starts, k0,
+                      rem_cap, img, interpret=True)
     key_k = (emat[0].astype(jnp.uint32)
              | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
     rows_k = [emat[r] for r in range(1, 11)]
@@ -120,7 +121,8 @@ def test_emit_kernel_giant_splat_tail():
         table, hit_mask, counts, pc, depth_bits, rem_starts, rem_needed,
         n, k0, rem_cap, tile_bw, num_tiles)
     img = (512, 512)
-    emat = emit_slots(table, rem_starts, k0, rem_cap, img, interpret=True)
+    emat = emit_slots([table[i] for i in range(17)], rem_starts, k0,
+                      rem_cap, img, interpret=True)
     key_k = (emat[0].astype(jnp.uint32)
              | (emat[11].astype(jnp.uint32) << jnp.uint32(16)))
     a = _real_slot_rows(key_j, rows_j, num_tiles)

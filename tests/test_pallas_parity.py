@@ -12,7 +12,8 @@ import numpy as np
 from safetensors.numpy import load_file
 
 from brush_tpu.camera import Camera
-from brush_tpu.render import RenderConfig, camera_inputs, render_with_refine
+from brush_tpu.render import (RenderConfig, camera_inputs, render,
+                              render_with_refine)
 
 DATA = pathlib.Path(__file__).parent / "data"
 
@@ -168,3 +169,32 @@ def test_pallas_forward_only_matches_training_kernel():
     assert np.abs(a - b).mean() < 2e-4
     # Overflow-retry aux still reported on the fwd-only path.
     assert int(aux.num_isects) >= 0
+
+
+def test_pallas_tile_step_padding_odd_tile_count():
+    """The multi-tile grid step (TPG tiles/step) pads the trailing partial
+    step with span-0 tiles; an image whose tile count is NOT a TPG
+    multiple must still match the jnp oracle exactly."""
+    from brush_tpu.constants import TILE_WIDTH
+    from brush_tpu.ops.rasterize_pallas import TPG
+    params, ci, cfg, d = setup()
+    img_size = (3 * TILE_WIDTH, 7 * TILE_WIDTH)       # 21 tiles
+    assert (21 % TPG) != 0
+    from brush_tpu.render import camera_inputs as _ci
+    from brush_tpu.camera import Camera as _Cam
+    import numpy as _np
+    cam = _Cam(position=_np.array([0.123, 0.456, -8.0]),
+               rotation=_np.array([1.0, 0.0, 0.0, 0.0]),
+               fov_x=_np.pi / 2, fov_y=_np.pi / 2 * 7 / 3)
+    ci2 = _ci(cam, img_size)
+    cfg2 = dataclasses.replace(cfg, img_size=img_size)
+    bg = jnp.array([0.1, 0.5, 0.9], jnp.float32)
+    img_j, _ = render(*params, ci2, bg, cfg2)
+    img_p, _ = render(*params, ci2, bg,
+                      dataclasses.replace(cfg2, use_pallas=True))
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j),
+                               atol=2e-6, rtol=1e-5)
+    img_f, _ = render(*params, ci2, bg,
+                      dataclasses.replace(cfg2, use_pallas=True,
+                                          forward_only=True))
+    assert np.abs(np.asarray(img_f) - np.asarray(img_p)).max() < 2.0 / 255.0
