@@ -646,20 +646,29 @@ def _bwd_kernel(ranges_ref,            # scalar-prefetch [T*2] int32
             unsat = og <= SATURATED_ALPHA_GRAD_CUTOFF
             mu = msk & unsat
             v_sigma = jnp.where(mu, -og * v_alpha, 0.0)
-            gxy_x = -v_sigma * (c00 * dx + c01 * dy)       # [QPIX, CK]
-            gxy_y = -v_sigma * (c01 * dx + c11 * dy)
+            # The mu mask must sit OUTSIDE every product with conic/dx
+            # terms: a degenerate splat (inf conic from a near-singular 2D
+            # covariance) contributes zero in the forward (its NaN alpha
+            # fails the gate), but 0 * (inf * 0) = NaN here — and ONE NaN
+            # on an in-span lane poisons every later splat through the
+            # reduce's inclusive cumsum (the round-5 quality collapse).
+            gxy_x = jnp.where(mu, -v_sigma * (c00 * dx + c01 * dy), 0.0)
+            gxy_y = jnp.where(mu, -v_sigma * (c01 * dx + c11 * dy), 0.0)
 
             # Per-intersection reductions over this sub-block's pixels.
             gq_x = jnp.sum(gxy_x, axis=0, keepdims=True)   # [1, CK]
             gq_y = jnp.sum(gxy_y, axis=0, keepdims=True)
             g_xy_x = g_xy_x + gq_x
             g_xy_y = g_xy_y + gq_y
-            g_c00 = g_c00 + jnp.sum(0.5 * v_sigma * dx * dx, axis=0,
-                                    keepdims=True)
-            g_c01 = g_c01 + jnp.sum(v_sigma * dx * dy, axis=0,
-                                    keepdims=True)
-            g_c11 = g_c11 + jnp.sum(0.5 * v_sigma * dy * dy, axis=0,
-                                    keepdims=True)
+            g_c00 = g_c00 + jnp.sum(
+                jnp.where(mu, 0.5 * v_sigma * dx * dx, 0.0), axis=0,
+                keepdims=True)
+            g_c01 = g_c01 + jnp.sum(
+                jnp.where(mu, v_sigma * dx * dy, 0.0), axis=0,
+                keepdims=True)
+            g_c11 = g_c11 + jnp.sum(
+                jnp.where(mu, 0.5 * v_sigma * dy * dy, 0.0), axis=0,
+                keepdims=True)
             g_opa = g_opa + jnp.sum(jnp.where(mu, gauss * v_alpha, 0.0),
                                     axis=0, keepdims=True)
 
@@ -841,7 +850,8 @@ def _cumsum_flat_rows(x):
     return x
 
 
-def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n):
+def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n,
+                         chunk_valid=None):
     """Per-splat gradient reduction -> [N, 11] in GLOBAL splat order.
 
     The reference accumulates with f32 atomics (rasterize_backwards.rs
@@ -853,14 +863,32 @@ def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n):
     (Intersections.surv_*_g), so the reduce is one Pallas carry-scan cumsum
     plus a boundary difference — no boundary extraction, and the result
     lands directly in global splat order.
+
+    `chunk_valid` ([chunk_cap] bool) marks chunks the backward kernel
+    actually WROTE. It is NOT just `< num_chunks`: the kernel skips each
+    tile's chunks past its useful range (the transmittance-saturation
+    shrink, rasterize.rs:181-187), so those rows hold recycled-buffer
+    garbage whose key row would clip into REAL splat ids and pollute the
+    reduce — NaN garbage then poisons every later splat through the
+    inclusive cumsum (the round-5 quality-run collapse).
     """
     gt = grads3                                            # [16, L] lane-major
     l = gt.shape[1]
-    # Chunk rows past num_chunks were never written: mask their keys to the
-    # sentinel BEFORE the int conversion (garbage floats sort anywhere).
-    chunk_ok = (jnp.arange(l, dtype=jnp.int32) // CK) < num_chunks
+    chunk_ids = jnp.arange(l, dtype=jnp.int32) // CK
+    chunk_ok = chunk_ids < num_chunks
+    if chunk_valid is not None:
+        chunk_ok = chunk_ok & chunk_valid[chunk_ids]
     key = jnp.where(chunk_ok, gt[11], jnp.float32(n)).astype(jnp.int32)
     key = jnp.clip(key, 0, n).astype(jnp.uint32)
+    # Sentinel-keyed lanes carry garbage/NaN VALUES: unwritten chunk rows
+    # hold recycled memory, and the out-of-span lanes of WRITTEN chunks
+    # compute 0 * inf = NaN from the soa's garbage tail. They sort past
+    # every real key, but the useful-range shrink leaves some real splats'
+    # boundary positions pointing INTO that tail (their shrunk slots have
+    # zero true gradient), and the inclusive cumsum would carry any NaN
+    # into every later boundary read. Zeroing them makes the tail an exact
+    # no-op for every boundary difference.
+    gt = jnp.where((key < jnp.uint32(n))[None, :], gt, 0.0)
     # Non-stable: tie order within a splat only permutes the summation
     # order, and XLA's sorting network is a fixed deterministic program —
     # same inputs give bitwise-identical sums run to run (the reference's
@@ -936,8 +964,22 @@ def _rasterize_pallas_bwd(img_size, chunk_cap, res, v_img):
         soa, tile_ranges, chunk_starts, tiles, v_tiles, bg, img_size,
         chunk_cap, interpret=_use_interpret())
 
+    # Chunks the kernel actually wrote: each tile fills only
+    # ceil(useful_len / CK) of its ceil(span / CK) chunk slots (the
+    # saturation shrink) — the rest stay unwritten recycled memory and
+    # must be masked out of the reduce (see _reduce_grads_sorted).
+    useful_len = tiles[:, 5, 0]                            # [T] f32
+    nuseful = jnp.where(useful_len > 0.0,
+                        (useful_len + (CK - 1)) // CK, 0.0).astype(jnp.int32)
+    cidx = jnp.arange(chunk_cap, dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(chunk_starts, cidx, side="right").astype(jnp.int32)
+        - 1, 0, chunk_starts.shape[0] - 1)
+    chunk_valid = (cidx - chunk_starts[t_of]) < nuseful[t_of]
+
     per_splat = _reduce_grads_sorted(
-        grads3, num_chunks, surv_starts_g, surv_counts_g, n)        # [n,11]
+        grads3, num_chunks, surv_starts_g, surv_counts_g, n,
+        chunk_valid=chunk_valid)                           # [n,11]
 
     v_mean2d = per_splat[:, 0:2]
     v_conic = per_splat[:, 2:5]

@@ -106,3 +106,61 @@ def test_poisoned_soa_tail_is_inert():
                                   np.asarray(img_poison))
     for a, b in zip(g_clean, g_poison):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_degenerate_conic_pallas_grads_finite():
+    """An IN-SPAN slot with inf conic entries (a splat whose projected
+    covariance went singular — happens on TPU where the f32 determinant
+    can round to exactly 0). The forward is safe (its NaN alpha fails the
+    gate) but the backward once computed v_sigma(0) * (inf * dx) = NaN on
+    a REAL-gid lane — and ONE NaN poisons every later splat through the
+    gid-sort reduce's inclusive cumsum (the round-5 quality collapse).
+    The mu mask must sit outside every conic/dx product, so the poisoned
+    slot contributes exactly zero and every other gradient is UNCHANGED."""
+    import dataclasses
+
+    from tests.test_pallas_parity import setup
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_pallas import rasterize_pallas
+    from brush_tpu.ops.tiling import build_intersections
+
+    params, ci, cfg, d = setup()
+    cfg = dataclasses.replace(cfg, use_pallas=True)
+    bg = jnp.array([0.2, 0.1, 0.3], jnp.float32)
+    n = params[0].shape[0]
+
+    proj = project_splats(*params, ci, cfg.img_size, sh_degree=3)
+    isect = build_intersections(proj, cfg.img_size, cfg.isect_cap,
+                                expand_k0=cfg.expand_k0)
+
+    def run(soa):
+        def loss(mean2d, conic, color, opac, rh, vh, bgv):
+            img = rasterize_pallas(
+                mean2d, conic, color, opac, rh, vh, soa,
+                isect.tile_ranges, isect.chunk_starts, isect.num_chunks,
+                isect.surv_starts_g, isect.surv_counts_g, bgv,
+                cfg.img_size, cfg.resolved_chunk_cap(n))
+            return jnp.sum(img), img
+
+        grads, img = jax.grad(
+            loss, argnums=(0, 1, 2, 3, 4, 5, 6), has_aux=True)(
+            proj.mean2d, proj.conic, proj.color, proj.opac,
+            jnp.zeros(n), jnp.zeros(n), bg)
+        return img, grads
+
+    # Silence two in-span slots of the busiest tile (opacity 0: they
+    # contribute nothing either way), then poison their conics with inf.
+    spans = np.asarray(isect.tile_ranges)
+    t = int(np.argmax(spans[:, 1] - spans[:, 0]))
+    s0 = int(spans[t, 0])
+    soa_base = isect.soa.at[5, s0:s0 + 2].set(0.0)  # opacity row
+    img_clean, g_clean = run(soa_base)
+
+    soa_p = soa_base.at[2, s0].set(np.inf)          # conic00 = inf
+    soa_p = soa_p.at[4, s0].set(np.inf)             # conic11 = inf
+    soa_p = soa_p.at[2, s0 + 1].set(-np.inf)        # and a -inf variant
+    img_p, g_p = run(soa_p)
+
+    for a in list(g_p) + [img_p]:
+        assert np.isfinite(np.asarray(a)).all(), "NaN/inf leaked"
+    np.testing.assert_array_equal(np.asarray(img_clean), np.asarray(img_p))
