@@ -88,7 +88,20 @@ def main():
         @jax.jit
         def f(k):
             out = jax.lax.sort((k, *ops), num_keys=1, is_stable=False)
-            return out[0] ^ jnp.uint32(1)  # consume + chain
+            # Consume EVERY output: a key-only probe lets XLA DCE the
+            # payload moves entirely (this exact bug produced the bogus
+            # round-4 "per-operand/per-byte" and the first round-5
+            # "payload-flat" sort cost laws).
+            acc = out[0] ^ jnp.uint32(1)
+            for r in out[1:]:
+                if r.dtype == jnp.uint64:
+                    acc = acc ^ (r & jnp.uint64(0xFFFFFFFF)
+                                 ).astype(jnp.uint32)
+                elif r.dtype == jnp.uint32:
+                    acc = acc ^ r
+                else:
+                    acc = acc ^ jax.lax.bitcast_convert_type(r, jnp.uint32)
+            return acc
         return f
 
     chain(mksort(), key, label="sort key only")

@@ -56,19 +56,19 @@ from brush_tpu.ops.tiling_key import B_SCAN
 import os as _os
 
 # Slots per grid step / remainder inner sub-chunk width / remainder
-# owner-window width (gids per DMA). The grid carries a measurable
-# per-step floor (~10 us/step with manual DMAs + a matrix output on v5e),
-# so steps are BIG; the remainder math runs in RSUB-wide sub-chunks
-# inside each step to bound the [W, RSUB] one-hot working set. Only the
-# defaults are covered by the parity suites, so overrides require an
-# explicit unsafe opt-in — a stray env var must not silently retile the
-# production kernel.
-BLKS, RSUB, W = 16384, 4096, 256
+# owner-window width (gids per DMA). BLKS=4096 measured best on v5e —
+# both the 16384-step variant (+20 us/step grid floor at matrix blocks,
+# microbench_r05probes gridfloor rows) and smaller steps lose; the
+# remainder math runs in RSUB-wide sub-chunks inside each step to bound
+# the [W, RSUB] one-hot working set. Only the defaults are covered by
+# the parity suites, so overrides require an explicit unsafe opt-in — a
+# stray env var must not silently retile the production kernel.
+BLKS, RSUB, W = 4096, 4096, 256
 if _os.environ.get("BRUSH_TPU_UNSAFE_TUNE") == "1":
     import warnings as _warnings
     BLKS = int(_os.environ.get("BRUSH_TPU_EMIT_BLKS", BLKS))
     W = int(_os.environ.get("BRUSH_TPU_EMIT_W", W))
-    if (BLKS, W) != (16384, 256):
+    if (BLKS, W) != (4096, 256):
         _warnings.warn(
             f"emit kernel geometry overridden to BLKS={BLKS} W={W} "
             "(BRUSH_TPU_UNSAFE_TUNE) — untested tiling", stacklevel=1)

@@ -136,15 +136,16 @@ def _f16_to_f32(u):
 
 
 def _decode_diet(data):
-    """[DIET rows, CK] u16-pair rows (pack_fwd_rows layout) -> the 9
-    rasterizer rows [9, CK]: xy (tile-relative), conic, opac, rgb."""
-    u = pltpu.bitcast(data[:5], jnp.int32)
+    """[DIET rows, CK] diet rows (pack_fwd_rows layout: 2 f32 xy +
+    4 u16-pair) -> the 9 rasterizer rows [9, CK]: xy (tile-relative),
+    conic, opac, rgb."""
+    u = pltpu.bitcast(data[2:6], jnp.int32)
     lo = _f16_to_f32(u & 0xFFFF)
     hi = _f16_to_f32((u >> 16) & 0xFFFF)
-    # rows: 0 (mx, my), 1 (c00, c01), 2 (c11, opac), 3 (r, g), 4 (b, _)
+    # rows: 0 mx, 1 my (f32), 2 (c00, c01), 3 (c11, opac), 4 (r, g), 5 (b, _)
     return jnp.concatenate([
-        lo[0:1], hi[0:1], lo[1:2], hi[1:2], lo[2:3], hi[2:3],
-        lo[3:4], hi[3:4], lo[4:5],
+        data[0:1], data[1:2], lo[0:1], hi[0:1], lo[1:2], hi[1:2],
+        lo[2:3], hi[2:3], lo[3:4],
     ], axis=0)
 
 
@@ -266,57 +267,17 @@ def _fwd_kernel(ranges_ref,            # scalar-prefetch [T_pad*2] int32 (SMEM)
             isect = start + c * CK + lane_ids
             in_span = lane_ids < (span - c * CK)                # [1, CK]
 
-            if fwd_only:
-                # sigma as ONE basis matmul on the MXU: sigma(p, s) =
-                # [px^2, px*py, py^2, px, py, 1] . coeffs(s). The basis is
-                # per-tile constant; the 6 coeff rows are per-SLOT ops
-                # ([1, CK], ~free), replacing ~11 VPU passes over the full
-                # [TILE_PIX, CK] block. Precision.HIGHEST keeps the
-                # contraction f32-faithful; magnitudes self-regulate
-                # (tile-relative coords, contributing sigma <= ~12), and
-                # the fwd-only 2/255 budget absorbs the reassociation.
-                mx, my = data[0:1, :], data[1:2, :]
-                c00, c01, c11 = data[2:3, :], data[3:4, :], data[4:5, :]
-                coeffs = jnp.concatenate([
-                    0.5 * c00, c01, 0.5 * c11,
-                    -(c00 * mx + c01 * my),
-                    -(c01 * mx + c11 * my),
-                    0.5 * c00 * mx * mx + c01 * mx * my
-                    + 0.5 * c11 * my * my,
-                    jnp.zeros_like(mx), jnp.zeros_like(mx),
-                ], axis=0)                                      # [8, CK]
-                basis = jnp.concatenate([
-                    px * px, px * py, py * py, px, py,
-                    jnp.ones_like(px), jnp.zeros_like(px),
-                    jnp.zeros_like(px),
-                ], axis=1)                                      # [256, 8]
-                sigma = jax.lax.dot_general(
-                    basis, coeffs, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-            else:
-                dx = px - data[0:1, :]
-                dy = py - data[1:2, :]
-                sigma = (0.5 * (data[2:3, :] * dx * dx
-                                + data[4:5, :] * dy * dy)
-                         + data[3:4, :] * dx * dy)
-            if fwd_only:
-                # The basis reassociation carries a ~1e-6 ABSOLUTE error
-                # floor (the two-sided form's error vanishes with sigma),
-                # so the PSD gate needs a tolerance: a true sigma ~ 0
-                # (pixel at the splat center, alpha ~ opacity) must not be
-                # dropped by a -1e-6 rounding. Garbage conics reject as
-                # before (they go strongly negative or NaN).
-                alpha = jnp.minimum(
-                    ALPHA_CAP,
-                    data[5:6, :] * jnp.exp(-jnp.maximum(sigma, 0.0)))
-                gate = ((sigma >= -1e-4) & (alpha >= ALPHA_CUTOFF_MID)
-                        & in_span)
-            else:
-                alpha = jnp.minimum(ALPHA_CAP,
-                                    data[5:6, :] * jnp.exp(-sigma))
-                gate = ((sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID)
-                        & in_span)
+            # (A round-5 experiment moved sigma onto the MXU as a
+            # [pixels, 8] x [8, slots] basis matmul — reverted: the
+            # contraction dim of 8 pads to the MXU's 128, wasting 16x,
+            # and measured SLOWER than the VPU form on v5e.)
+            dx = px - data[0:1, :]
+            dy = py - data[1:2, :]
+            sigma = (0.5 * (data[2:3, :] * dx * dx
+                            + data[4:5, :] * dy * dy)
+                     + data[3:4, :] * dx * dy)
+            alpha = jnp.minimum(ALPHA_CAP, data[5:6, :] * jnp.exp(-sigma))
+            gate = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF_MID) & in_span
             a = jnp.where(gate, alpha, 0.0)
 
             one_minus = 1.0 - a
@@ -892,12 +853,17 @@ def _reduce_grads_sorted(grads3, num_chunks, surv_starts_g, surv_counts_g, n,
     # Non-stable: tie order within a splat only permutes the summation
     # order, and XLA's sorting network is a fixed deterministic program —
     # same inputs give bitwise-identical sums run to run (the reference's
-    # atomic adds don't even guarantee that). Payload rows ride bit-packed
-    # in u64 pairs: the sort's cost is per OPERAND (ops/tiling_key.py), so
-    # 6 packed rows beat 11 plain ones by ~2x on the payload bill.
+    # atomic adds don't even guarantee that). Payloads ride as plain f32
+    # operands — the sort is payload-count-flat (ops/tiling_key.py).
     from brush_tpu.ops.tiling_key import sort_packed
     _, rows_sorted = sort_packed(key, [gt[i] for i in range(11)])
-    g_sorted = jnp.stack(rows_sorted, axis=0)              # [11, L] gid-major
+    if jax.default_backend() == "cpu":
+        g_sorted = jnp.stack(rows_sorted, axis=0)          # [11, L] gid-major
+    else:
+        # XLA's strided 1-D-rows -> matrix stack is the measured-slow op;
+        # the Pallas block copy runs at bandwidth (ops/scan_pallas.py).
+        from brush_tpu.ops.scan_pallas import stack_rows
+        g_sorted = stack_rows(rows_sorted, 11, l)[:, :l]
     cs = _cumsum_flat_rows(g_sorted)                       # [11, L]
     csp = jnp.concatenate([jnp.zeros((11, 1), cs.dtype), cs], axis=1)
     # Segments are contiguous in global order (starts are an exclusive

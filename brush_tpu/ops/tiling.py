@@ -51,9 +51,10 @@ from brush_tpu.ops.tiling_key import (
 # 0 xy_x, 1 xy_y, 2 conic00, 3 conic01, 4 conic11, 5 opacity, 6..8 rgb,
 # 9 gid (exact in f32: gid < 2^24), 10..15 zero padding.
 SOA_ROWS = 16
-# Forward-only diet SoA (inference/viewer): the 5 u16-pair payload rows of
-# pack_fwd_rows, undecoded — rows 0 (xy rel pair), 1 (c00,c01), 2 (c11,
-# opac), 3 (r,g), 4 (b,0), 5..7 zero padding. Decoded in-kernel.
+# Forward-only diet SoA (inference/viewer): the 6 diet payload rows of
+# pack_fwd_rows, undecoded — rows 0,1 tile-relative f32 xy, 2 (c00,c01),
+# 3 (c11,opac), 4 (r,g), 5 (b,0) as u16 pairs, 6..7 zero padding.
+# Decoded in-kernel (_decode_diet).
 DIET_SOA_ROWS = 8
 # Rasterizer chunk length (lanes). Must be a multiple of 256 (the backward's
 # chunk-indexed gradient blocks rely on CK-multiple lane offsets satisfying
@@ -334,7 +335,7 @@ def build_intersections(
         from brush_tpu.ops.tiling_key import pack_fwd_rows
         key_sorted, packed_sorted = sort_packed(
             key, pack_fwd_rows(key, rows10[:9], num_tiles, tile_bw))
-        # The 5 u16-pair rows go STRAIGHT into the diet SoA — no XLA
+        # The 6 diet rows go STRAIGHT into the diet SoA — no XLA
         # unpack pass, half the stack width, half the rasterizer input
         # bandwidth. The fwd kernel decodes the pairs per chunk with the
         # bit-exact equivalent of XLA's f16->f32 (rasterize_pallas

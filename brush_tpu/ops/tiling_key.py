@@ -1,10 +1,10 @@
 """Shared tile-sort key/packing helpers (used by ops/tiling.py and the
 fused emission kernel, which cannot import ops/tiling.py circularly).
 
-Round-4 v5e measurements (benches/microbench_sortshape.py, _sorti64.py)
-pinned the tile sort's cost law: ~3.7 ms per OPERAND at 6.3M slots
-regardless of operand width (bf16 == f32 == i64 per operand), and one key
-is ~5.5 ms cheaper than two. Hence:
+Round-5 v5e measurement (benches/microbench_r05probes.py): lax.sort at
+6.1M slots costs ~8.4 ms FLAT regardless of payload operand count, so
+payloads ride as plain f32 operands (the round-4 u64 pair-packing was
+emulated-64-bit overhead, removed). The key design stands:
 
   * ONE combined u32 key: tile_id in the top bits, the splat's depth bit
     pattern truncated into the rest. Orders (tile, depth) exactly except
@@ -12,9 +12,6 @@ is ~5.5 ms cheaper than two. Hence:
     fixed sorting network (deterministic run to run; the golden-image
     suites pass, which is the acceptance bar — the reference's stable
     radix only pins tie order for bitwise-equal full-depth keys).
-  * f32 payload PAIRS bit-packed into u64 rows: halves the payload operand
-    count. Packing is bit-exact (pure bitcasts); the u64 values are
-    meaningless as numbers and are never compared.
 
 The sentinel tile (num_tiles) still sorts past every real tile
 (map_gaussians.rs:53-57) because it is the largest tile field value.
@@ -57,38 +54,6 @@ def tile_boundary_keys(num_tiles: int):
     return t << jnp.uint32(32 - tb)
 
 
-def pack_pairs_u64(rows):
-    """Bit-pack consecutive f32 row pairs into u64 rows (lo = even row).
-    An odd trailing row stays a plain u32 operand (sort cost is per BYTE —
-    padding it to u64 would buy nothing and cost half an operand). Trace
-    under jax.enable_x64()."""
-    rows = list(rows)
-    out = []
-    for i in range(0, len(rows) - 1, 2):
-        lo = jax.lax.bitcast_convert_type(rows[i], jnp.uint32
-                                          ).astype(jnp.uint64)
-        hi = jax.lax.bitcast_convert_type(rows[i + 1], jnp.uint32
-                                          ).astype(jnp.uint64)
-        out.append(lo | (hi << jnp.uint64(32)))
-    if len(rows) % 2:
-        out.append(jax.lax.bitcast_convert_type(rows[-1], jnp.uint32))
-    return out
-
-
-def unpack_pairs_u64(packed, n_rows: int):
-    """Inverse of pack_pairs_u64 -> n_rows f32 arrays."""
-    rows = []
-    for p in packed:
-        if p.dtype == jnp.uint32:
-            rows.append(jax.lax.bitcast_convert_type(p, jnp.float32))
-            continue
-        lo = (p & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        hi = (p >> jnp.uint64(32)).astype(jnp.uint32)
-        rows.append(jax.lax.bitcast_convert_type(lo, jnp.float32))
-        rows.append(jax.lax.bitcast_convert_type(hi, jnp.float32))
-    return rows[:n_rows]
-
-
 def _f16_bits_u32(x):
     """f32 -> IEEE f16 bit pattern widened to u32 (XLA-level; float16 is a
     storage type TPU XLA converts through f32)."""
@@ -123,23 +88,27 @@ def _slot_tile_origin(key, num_tiles: int, tile_bw: int):
 
 
 def pack_fwd_rows(key, rows9, num_tiles: int, tile_bw: int):
-    """Forward-only payload diet: 9 f32 rows -> 5 u16-precision rows, so the
-    tile sort carries 2 u64 + 1 u32 payload operands instead of 4 u64 + 1 u32
-    (the measured cost law is per BYTE; ~16 ms/frame at 6M slots on v5e).
+    """Forward-only payload diet: 9 f32 rows -> 6 rows (2 f32 xy + 4
+    u16-pair). The win is downstream of the sort (which is payload-count-
+    flat): a 6-row diet SoA nearly halves the Pallas stack width and the
+    rasterizer's per-chunk input bandwidth, and the kernel decodes the
+    pairs in place (_decode_diet).
 
     Lossy by design — the viewer/inference specialization only (the
     reference's fwd-only kernel likewise changes representation, packing
-    u8x4 output, rasterize.rs:172-177). Error budget: xy is stored RELATIVE
-    to the slot's emission tile (recovered from the sort key), so the f16
-    rounding of (dx, dy) perturbs sigma by <= sigma/1024 at contributing
-    pixels (sigma <= ln(255*opac) there); f16 conic is a <= 2^-11 relative
-    sigma error; f16 rgb/opacity are ~5e-4 relative — all well under the
-    1/255 output quantization step.
+    u8x4 output, rasterize.rs:172-177). Error budget: xy stays FULL f32
+    (tile-relative, exactly reconstructible) — an f16 xy's ulp at a
+    tile-diagonal offset is ~0.02 px, which for the sub-pixel splats a
+    converged model is full of means an O(10%) alpha error (the round-5
+    quality eval measured it as dB-level loss); f16 conic is a <= 2^-11
+    relative sigma error and f16 rgb/opacity are ~5e-4 relative — both
+    well under the 1/255 output quantization step at contributing pixels.
     """
     mx, my, c00, c01, c11, opac, r, g, bch = rows9
     ox, oy = _slot_tile_origin(key, num_tiles, tile_bw)
     return [
-        _pack2f16(mx - ox, my - oy),
+        mx - ox,
+        my - oy,
         _pack2f16(c00, c01),
         _pack2f16(c11, opac),
         _pack2f16(r, g),
@@ -147,27 +116,31 @@ def pack_fwd_rows(key, rows9, num_tiles: int, tile_bw: int):
     ]
 
 
-def unpack_fwd_rows(key_sorted, rows5, num_tiles: int, tile_bw: int):
-    """Inverse of pack_fwd_rows (to f32, post-rounding values): 5 rows -> 9.
+def unpack_fwd_rows(key_sorted, rows6, num_tiles: int, tile_bw: int):
+    """Inverse of pack_fwd_rows (to f32, post-rounding values): 6 rows -> 9.
     Sentinel slots decode to garbage xy — they sort past every real tile
     range and are never rasterized."""
-    dx, dy = _unpack2f16(rows5[0])
-    c00, c01 = _unpack2f16(rows5[1])
-    c11, opac = _unpack2f16(rows5[2])
-    r, g = _unpack2f16(rows5[3])
-    bch, _ = _unpack2f16(rows5[4])
+    dx, dy = rows6[0], rows6[1]
+    c00, c01 = _unpack2f16(rows6[2])
+    c11, opac = _unpack2f16(rows6[3])
+    r, g = _unpack2f16(rows6[4])
+    bch, _ = _unpack2f16(rows6[5])
     ox, oy = _slot_tile_origin(key_sorted, num_tiles, tile_bw)
     return [dx + ox, dy + oy, c00, c01, c11, opac, r, g, bch]
 
 
 def sort_packed(key, rows):
-    """Sort f32 payload `rows` by u32 `key` with pair-packed u64 payload
-    operands (half the operand bill). Returns (sorted_key, sorted_rows).
+    """Sort f32 payload `rows` by u32 `key`. Returns (sorted_key,
+    sorted_rows).
+
+    Round-5 v5e measurements (MEASUREMENTS_r05.md): with every output
+    actually consumed, lax.sort at 6.1M slots costs ~9 ms for the key
+    plus ~4.2 ms per payload row — operand dtype and u64 pair-packing
+    change nothing (earlier "per-byte" and "payload-flat" cost laws were
+    DCE artifacts: a probe that consumes only the sorted key lets XLA
+    delete the payload moves entirely). Payloads therefore ride as plain
+    f32 operands with no packing math; the comparator only reads the key,
+    so payload bit patterns (u16 pairs, depth bits, NaNs) move untouched.
     """
-    n_rows = len(rows)
-    with jax.enable_x64():
-        packed = pack_pairs_u64(rows)
-        sorted_ops = jax.lax.sort((key, *packed), num_keys=1,
-                                  is_stable=False)
-        out_rows = unpack_pairs_u64(sorted_ops[1:], n_rows)
-    return sorted_ops[0], out_rows
+    sorted_ops = jax.lax.sort((key, *rows), num_keys=1, is_stable=False)
+    return sorted_ops[0], list(sorted_ops[1:])

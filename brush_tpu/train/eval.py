@@ -7,8 +7,10 @@ fused loss map."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +27,40 @@ class EvalStats:
     per_view_ssim: list
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_step_fn(rcfg: RenderConfig):
+    """Jitted render + 8-bit roundtrip + metrics for one view.
+
+    MUST be jitted: EAGER execution of the forward-only render pipeline
+    on the TPU backend produces wrong pixels (measured ~0.8 max diff /
+    1M pixels vs the jitted program on a converged model — ~6 dB of
+    reported eval PSNR), while the jitted render is bit-consistent with
+    the training path. The exact eager-mode culprit is unisolated (a
+    minimal f16-pack repro shows no eager/jit gap); until it is, every
+    production render call must go through jit — which eval wants anyway
+    (per-op dispatch of the full pipeline is ~50x slower per view).
+    CPU runs (and every CPU test) are unaffected, which is why only the
+    on-chip quality protocol caught it.
+    """
+    @jax.jit
+    def step(means, log_scales, quats, sh_coeffs, raw_opacities, cam,
+             gt_packed):
+        black = jnp.zeros(3, jnp.float32)
+        img, aux = render(means, log_scales, quats, sh_coeffs,
+                          raw_opacities, cam, black, rcfg)
+        # 8-bit roundtrip simulation (eval.rs:36-43).
+        rgb = jnp.round(jnp.clip(img[..., :3], 0.0, 1.0) * 255.0) / 255.0
+        over = aux.num_isects
+        if not rcfg.use_pallas:
+            over = jnp.maximum(
+                over, jnp.where(
+                    aux.max_isects_per_tile > rcfg.max_per_tile,
+                    jnp.int32(rcfg.isect_cap + 1), 0))
+        return (rgb, loss_mod.psnr(rgb, gt_packed),
+                loss_mod.ssim(rgb, gt_packed), over)
+    return step
+
+
 def eval_views(splats: Splats, views, rcfg: RenderConfig,
                save_dir: str | None = None, step: int = 0) -> EvalStats:
     """`views`: iterable of (camera, gt_packed [H,W] u32) pairs.
@@ -32,32 +68,27 @@ def eval_views(splats: Splats, views, rcfg: RenderConfig,
     (eval.rs:56-63's per-view save-to-disk)."""
     psnrs, ssims = [], []
     folded = splats.fold_min_scale()
-    black = jnp.zeros(3, jnp.float32)
     for i, (camera, gt_packed) in enumerate(views):
         cam = camera_inputs(camera, rcfg.img_size)
-        img, aux = render(folded.means, folded.log_scales, folded.quats,
-                          folded.sh_coeffs, folded.raw_opacities,
-                          cam, black, rcfg)
-        # Overflow would silently drop contributions and corrupt PSNR;
-        # retry once with doubled capacity (the training loop's grow-on-
-        # overflow policy, process.py).
-        def overflowed(aux):
-            if int(aux.num_isects) > rcfg.isect_cap:
-                return True
-            return (not rcfg.use_pallas
-                    and int(aux.max_isects_per_tile) > rcfg.max_per_tile)
+        rgb, p, s, num_isects = _eval_step_fn(rcfg)(
+            folded.means, folded.log_scales, folded.quats,
+            folded.sh_coeffs, folded.raw_opacities, cam, gt_packed)
 
-        while overflowed(aux):
+        # Overflow would silently drop contributions and corrupt PSNR;
+        # retry with doubled capacity (the training loop's grow-on-
+        # overflow policy, process.py).
+        def overflowed(num_isects, rcfg):
+            return int(num_isects) > rcfg.isect_cap
+
+        while overflowed(num_isects, rcfg):
             rcfg = dataclasses.replace(
                 rcfg, isect_cap=rcfg.isect_cap * 2,
                 max_per_tile=rcfg.max_per_tile * 2)
-            img, aux = render(folded.means, folded.log_scales, folded.quats,
-                              folded.sh_coeffs, folded.raw_opacities,
-                              cam, black, rcfg)
-        # 8-bit roundtrip simulation (eval.rs:36-43).
-        rgb = jnp.round(jnp.clip(img[..., :3], 0.0, 1.0) * 255.0) / 255.0
-        psnrs.append(float(loss_mod.psnr(rgb, gt_packed)))
-        ssims.append(float(loss_mod.ssim(rgb, gt_packed)))
+            rgb, p, s, num_isects = _eval_step_fn(rcfg)(
+                folded.means, folded.log_scales, folded.quats,
+                folded.sh_coeffs, folded.raw_opacities, cam, gt_packed)
+        psnrs.append(float(p))
+        ssims.append(float(s))
         if save_dir is not None:
             from pathlib import Path
 

@@ -22,6 +22,22 @@ import numpy as np
 from brush_tpu.camera import Camera
 from brush_tpu.viewer.slot import MessageBus, Slot
 
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_render(cfg):
+    """Cached jitted render per RenderConfig (see the call site note)."""
+    import jax
+    from brush_tpu.render import render as _render
+
+    @jax.jit
+    def f(means, log_scales, quats, sh_coeffs, raw_opacities, cam, bg):
+        return _render(means, log_scales, quats, sh_coeffs,
+                       raw_opacities, cam, bg, cfg)
+    return f
+
 _CLIENT_HTML = """<!DOCTYPE html>
 <html><head><title>brush_tpu viewer</title><style>
 body{margin:0;background:#111;color:#ddd;font-family:monospace;overflow:hidden}
@@ -301,10 +317,14 @@ class ViewerState:
         if splat_scale != 1.0:
             log_scales = log_scales + math.log(max(splat_scale, 1e-6))
         with self.lock:
-            img, _ = render(folded.means, log_scales, folded.quats,
-                            folded.sh_coeffs, folded.raw_opacities,
-                            camera_inputs(cam, (w, h)),
-                            jnp.asarray(bg, jnp.float32), cfg)
+            # MUST run jitted: eager execution of the fwd-only pipeline
+            # produces wrong pixels on the TPU backend (see train/eval.py
+            # _eval_step_fn) — and eager per-op dispatch is far too slow
+            # for interactive frames anyway.
+            img, _ = _jitted_render(cfg)(
+                folded.means, log_scales, folded.quats,
+                folded.sh_coeffs, folded.raw_opacities,
+                camera_inputs(cam, (w, h)), jnp.asarray(bg, jnp.float32))
             arr = np.asarray(img)
         return (np.clip(arr[..., :3], 0, 1) * 255).astype(np.uint8)
 
